@@ -1,0 +1,15 @@
+"""pisa_ray — a Ray-Data-native full-text index build + BM25 query engine.
+
+A brand-new engine with the capabilities of PISA (reference: bmmliu/pisa):
+streaming ingestion of Common-Crawl-style web pages from Parquet, HTML text
+extraction, tokenization, term-ID assignment, a groupby-term shuffle building
+sorted-docid posting lists with delta-gap block compression and per-block
+max-score (WAND) metadata, sharded index layout with lineage manifests, and
+BM25 top-k retrieval with dynamic pruning (WAND / Block-Max WAND / MaxScore).
+
+Everything is expressed Ray-Data-first: ``ray.data.Dataset`` pipelines over
+zero-copy Arrow batches, actor pools for stateful stages, and explicit
+groupby/sort shuffles for the wide steps.
+"""
+
+__version__ = "0.1.0"

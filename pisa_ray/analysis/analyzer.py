@@ -1,0 +1,129 @@
+"""TextAnalyzer: tokenizer + token-filter chain, batch-vectorized.
+
+Mirrors the reference's ``TextAnalyzer = [TextFilter*] → Tokenizer →
+[TokenFilter*]`` composition (``/root/reference/src/text_analyzer.cpp:47-58``)
+and its CLI surface (tokenizers ``{whitespace, english}``, token filters
+``{lowercase, porter2}``, optional stopword set —
+``/root/reference/tools/app.cpp:24-70``).  The Krovetz stemmer is not
+available in this environment; requesting it raises ``NotImplementedError``
+(the actor-pool plumbing is identical to porter2's).
+
+Filters are applied in the declared order, as flat-maps over the token
+stream: lowercase (1→1), stemmer (1→1), stopword removal (1→0/1).  The
+stopword remover drops tokens *after* whatever filters precede it, matching
+the reference where it is appended last (``tools/app.cpp:60-65``).
+
+The analyzer is used as a *callable-class actor* in ``map_batches`` so the
+compiled regex, stemmer memo cache, and stopword set are built once per
+actor (see ``pisa_ray.index.build``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import FrozenSet, List, Optional, Tuple
+
+import numpy as np
+
+from pisa_ray.analysis.tokenizers import TOKENIZERS
+from pisa_ray.analysis.html import html_to_text
+from pisa_ray.analysis.stem import porter2_stem
+
+
+@dataclass(frozen=True)
+class AnalyzerConfig:
+    tokenizer: str = "english"
+    # token filters, applied in order; valid: "lowercase", "porter2", "krovetz"
+    token_filters: Tuple[str, ...] = ("lowercase",)
+    stopwords: FrozenSet[str] = field(default_factory=frozenset)
+    strip_html: bool = False  # apply html_to_text as a text filter first
+
+    def __post_init__(self):
+        if self.tokenizer not in TOKENIZERS:
+            raise ValueError(f"unknown tokenizer {self.tokenizer!r}")
+        for f in self.token_filters:
+            if f == "krovetz":
+                raise NotImplementedError(
+                    "Krovetz stemmer unavailable in this environment; "
+                    "use 'porter2' (same actor-pool plumbing)"
+                )
+            if f not in ("lowercase", "porter2"):
+                raise ValueError(f"unknown token filter {f!r}")
+
+
+class TextAnalyzer:
+    """Stateful analyzer; build once per actor, call per document/batch."""
+
+    def __init__(self, config: Optional[AnalyzerConfig] = None):
+        self.config = config or AnalyzerConfig()
+        self._tokenize = TOKENIZERS[self.config.tokenizer]
+        self._lower = "lowercase" in self.config.token_filters
+        self._stem = "porter2" in self.config.token_filters
+        self._stem_cache: dict = {}
+        self._stop = self.config.stopwords
+
+    # -- single document ----------------------------------------------------
+    def analyze(self, text: str) -> List[str]:
+        """Full chain over one document → token list."""
+        if self.config.strip_html:
+            text = html_to_text(text)
+        if self._lower:
+            # Tokens are [a-zA-Z0-9'.]-class; lowering the whole text first
+            # is equivalent to lowering each token (ASCII classes are
+            # case-insensitively closed) and much faster.
+            text = text.lower()
+        toks = self._tokenize(text)
+        if self._stem:
+            cache = self._stem_cache
+            out = []
+            for t in toks:
+                s = cache.get(t)
+                if s is None:
+                    s = porter2_stem(t)
+                    cache[t] = s
+                out.append(s)
+            toks = out
+        if self._stop:
+            stop = self._stop
+            toks = [t for t in toks if t not in stop]
+        return toks
+
+    # -- batch → per-(doc, term) counts -------------------------------------
+    def count_batch(self, texts) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Tokenize a batch of documents and count term frequencies.
+
+        Returns ``(doc_idx, terms, tfs, doc_lens)`` where ``doc_idx`` maps
+        each (doc, term) row back to its position in ``texts`` and
+        ``doc_lens[i]`` is the token count of document i.  Counting is done
+        with one numpy lexsort-free pass over (doc_idx, token) pairs rather
+        than per-row Python Counters.
+        """
+        n = len(texts)
+        doc_lens = np.zeros(n, dtype=np.uint32)
+        all_tokens: List[str] = []
+        all_docidx: List[np.ndarray] = []
+        for i, text in enumerate(texts):
+            toks = self.analyze(text if text is not None else "")
+            doc_lens[i] = len(toks)
+            if toks:
+                all_tokens.extend(toks)
+                all_docidx.append(np.full(len(toks), i, dtype=np.int64))
+        if not all_tokens:
+            return (
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=object),
+                np.empty(0, dtype=np.uint32),
+                doc_lens,
+            )
+        tok_arr = np.asarray(all_tokens, dtype=object)
+        idx_arr = np.concatenate(all_docidx)
+        # unique over (doc_idx, token) pairs → tf counts, vectorized
+        order = np.lexsort((tok_arr, idx_arr))
+        tok_s, idx_s = tok_arr[order], idx_arr[order]
+        new_group = np.empty(len(tok_s), dtype=bool)
+        new_group[0] = True
+        np.not_equal(tok_s[1:], tok_s[:-1], out=new_group[1:])
+        np.logical_or(new_group[1:], idx_s[1:] != idx_s[:-1], out=new_group[1:])
+        starts = np.flatnonzero(new_group)
+        tfs = np.diff(np.append(starts, len(tok_s))).astype(np.uint32)
+        return idx_s[starts], tok_s[starts], tfs, doc_lens

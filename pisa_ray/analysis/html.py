@@ -1,0 +1,115 @@
+"""HTML → text extraction with the reference engine's "cleantext" semantics.
+
+The reference (PISA) parses HTML with gumbo (an HTML5 parser) and extracts
+text recursively: text nodes are kept verbatim (entities decoded),
+whitespace-only text nodes contribute nothing, ``<script>`` / ``<style>``
+subtrees are skipped entirely, and sibling texts are joined with a single
+space (a separator is inserted only between two non-empty pieces).  See
+``/root/reference/src/parsing/html.cpp:7-40``.
+
+Because the separator is only ever inserted between non-empty sibling texts
+and recursion never adds leading/trailing separators, the result is exactly::
+
+    " ".join(t for t in text_nodes_in_document_order
+             if t not inside script/style and not whitespace-only)
+
+with each text node's content kept verbatim — independent of the tree shape.
+We therefore implement it as a streaming SAX-style pass (``html.parser``),
+which reproduces gumbo's output on well-formed-ish HTML without a full HTML5
+tree builder.  Character/entity references are decoded like gumbo does.
+
+HTTP response headers glued in front of the payload (as in raw WARC records)
+are stripped first, mirroring ``/root/reference/src/parser.cpp:160-187``.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from typing import List, Union
+
+
+class _CleanTextParser(HTMLParser):
+    """Collects gumbo-style text nodes: contiguous character data runs,
+    split at any tag/comment/declaration boundary, skipping script/style."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.texts: List[str] = []
+        self._buf: List[str] = []
+        self._skip_depth = 0  # inside <script>/<style>
+
+    # -- text-node buffering ------------------------------------------------
+    def _flush(self) -> None:
+        if self._buf:
+            text = "".join(self._buf)
+            self._buf.clear()
+            # gumbo marks all-whitespace text nodes GUMBO_NODE_WHITESPACE;
+            # cleantext() only collects GUMBO_NODE_TEXT, so drop them.
+            if text and not text.isspace():
+                self.texts.append(text)
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth == 0 and data:
+            self._buf.append(data)
+
+    # -- boundaries ---------------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        self._flush()
+        if tag in ("script", "style"):
+            self._skip_depth += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        self._flush()
+        if tag in ("script", "style") and self._skip_depth > 0:
+            self._skip_depth -= 1
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        self._flush()
+
+    def handle_comment(self, data: str) -> None:
+        self._flush()
+
+    def handle_decl(self, decl: str) -> None:
+        self._flush()
+
+    def handle_pi(self, data: str) -> None:
+        self._flush()
+
+    def close(self) -> None:
+        super().close()
+        self._flush()
+
+
+def strip_http_headers(content: str) -> str:
+    """Drop a leading HTTP response header block, if present.
+
+    Mirrors the reference's ``is_http`` + header skip
+    (``/root/reference/src/parser.cpp:160-187``): content starting with
+    ``HTTP/`` has everything up to and including the first blank line removed.
+    """
+    if not content.startswith("HTTP/"):
+        return content
+    for sep in ("\r\n\r\n", "\n\n"):
+        idx = content.find(sep)
+        if idx != -1:
+            return content[idx + len(sep):]
+    return content
+
+
+def html_to_text(html: Union[str, bytes]) -> str:
+    """Extract clean text from an HTML document (gumbo cleantext semantics).
+
+    Accepts ``str`` or utf-8 ``bytes`` (the ``html:binary`` input column).
+    """
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    html = strip_http_headers(html)
+    parser = _CleanTextParser()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        # gumbo never throws; it error-recovers. html.parser is similarly
+        # tolerant, but guard anyway: salvage whatever was collected.
+        parser._flush()
+    return " ".join(parser.texts)

@@ -1,0 +1,65 @@
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from pisa_ray.analysis.analyzer import AnalyzerConfig, TextAnalyzer
+
+
+def test_default_chain():
+    az = TextAnalyzer()
+    assert az.analyze("The U.S.A. Dog's day!") == ["the", "usa", "dog", "day"]
+
+
+def test_stopwords_after_lowercase():
+    az = TextAnalyzer(AnalyzerConfig(stopwords=frozenset({"the", "a"})))
+    assert az.analyze("The quick a fox") == ["quick", "fox"]
+
+
+def test_porter2_chain():
+    az = TextAnalyzer(AnalyzerConfig(token_filters=("lowercase", "porter2")))
+    assert az.analyze("Running nationally") == ["run", "nation"]
+
+
+def test_no_filters_keeps_case():
+    az = TextAnalyzer(AnalyzerConfig(token_filters=()))
+    assert az.analyze("Aa Bb") == ["Aa", "Bb"]
+
+
+def test_strip_html():
+    az = TextAnalyzer(AnalyzerConfig(strip_html=True))
+    assert az.analyze("<p>Hello <b>World</b></p>") == ["hello", "world"]
+
+
+def test_krovetz_unavailable():
+    with pytest.raises(NotImplementedError):
+        AnalyzerConfig(token_filters=("krovetz",))
+
+
+def test_count_batch_matches_counter():
+    az = TextAnalyzer()
+    texts = [
+        "the cat sat on the mat",
+        "",
+        "dog dog dog",
+        "U.S.A. usa USA",
+        None,
+    ]
+    doc_idx, terms, tfs, doc_lens = az.count_batch(texts)
+    got = {}
+    for d, t, f in zip(doc_idx, terms, tfs):
+        got[(int(d), t)] = int(f)
+    want = {}
+    for i, tx in enumerate(texts):
+        for t, f in Counter(az.analyze(tx or "")).items():
+            want[(i, t)] = f
+    assert got == want
+    assert list(doc_lens) == [6, 0, 3, 3, 0]
+    assert doc_lens.dtype == np.uint32
+
+
+def test_count_batch_empty():
+    az = TextAnalyzer()
+    doc_idx, terms, tfs, doc_lens = az.count_batch(["", "?!"])
+    assert len(doc_idx) == 0 and len(terms) == 0 and len(tfs) == 0
+    assert list(doc_lens) == [0, 0]

@@ -1,0 +1,62 @@
+from pisa_ray.analysis.html import html_to_text, strip_http_headers
+
+
+def test_basic_paragraphs():
+    html = "<html><body><p>hello</p>\n<p>world</p></body></html>"
+    assert html_to_text(html) == "hello world"
+
+
+def test_script_style_excluded():
+    html = (
+        "<html><head><title>T</title><style>p {color: red}</style></head>"
+        "<body><p>a</p><script>var x = 'no';</script><p>b</p></body></html>"
+    )
+    assert html_to_text(html) == "T a b"
+
+
+def test_whitespace_only_nodes_dropped():
+    html = "<div>  \n\t </div><div>x</div>"
+    assert html_to_text(html) == "x"
+
+
+def test_text_kept_verbatim_inside_node():
+    # gumbo keeps a text node's internal whitespace; only the separator
+    # between sibling nodes is a single space
+    html = "<p>a  b</p><p>c</p>"
+    assert html_to_text(html) == "a  b c"
+
+
+def test_comment_splits_text_nodes():
+    assert html_to_text("<p>a<!-- zz -->b</p>") == "a b"
+
+
+def test_entities_decoded():
+    assert html_to_text("<p>a&amp;b &lt;ok&gt;</p>") == "a&b <ok>"
+
+
+def test_nested_and_inline():
+    html = "<div>x<span>y</span>z</div>"
+    # three text nodes: "x", "y", "z"
+    assert html_to_text(html) == "x y z"
+
+
+def test_empty_elements_no_separator():
+    html = "<div><span></span><b>x</b><i></i><b>y</b></div>"
+    assert html_to_text(html) == "x y"
+
+
+def test_bytes_input():
+    assert html_to_text(b"<p>bytes \xc3\xa9</p>") == "bytes é"
+
+
+def test_http_header_strip():
+    raw = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>x</p>"
+    assert strip_http_headers(raw).startswith("<p>")
+    assert html_to_text(raw) == "x"
+    assert strip_http_headers("<p>x</p>") == "<p>x</p>"
+
+
+def test_void_and_malformed():
+    assert html_to_text("<p>a<br>b</p>") == "a b"
+    # unclosed tags: parser recovers, text preserved
+    assert html_to_text("<div><p>a<p>b") == "a b"
