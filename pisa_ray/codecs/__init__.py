@@ -1,0 +1,45 @@
+"""Block codec registry.
+
+A codec is a pair of pure functions ``encode(np.uint32[:]) -> bytes`` /
+``decode(bytes, n) -> np.uint32[:]`` applied per posting-list block inside
+``map_groups`` / ``map_batches``; payloads live in Arrow ``binary`` columns.
+
+Mirrors the reference's extension surface (struct with
+``block_size``/``encode``/``decode``, registered by name —
+``/root/reference/include/pisa/index_types.hpp:25-54``).  The default
+"bitpack" codec is a SIMD-BP128-style fixed-width bit packing (1 width byte
++ packed bits per block of ≤128 ints), numpy-vectorized; "varbyte" is a
+TightVariableByte-style fallback.  Framing conventions (docid gaps stored as
+``gap-1``, frequencies as ``tf-1``, 128-int blocks, per-block last-docid +
+byte endpoint) follow ``/root/reference/include/pisa/block_posting_list.hpp:12-78``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import numpy as np
+
+from pisa_ray.codecs.bitpack import bitpack_encode, bitpack_decode
+from pisa_ray.codecs.varbyte import varbyte_encode, varbyte_decode
+
+Encoder = Callable[[np.ndarray], bytes]
+Decoder = Callable[[bytes, int], np.ndarray]
+
+CODECS: Dict[str, Tuple[Encoder, Decoder]] = {
+    "bitpack": (bitpack_encode, bitpack_decode),
+    "varbyte": (varbyte_encode, varbyte_decode),
+}
+
+BLOCK_SIZE = 128  # ints per block, reference default (codec/simdbp.hpp:13)
+
+
+def get_codec(name: str) -> Tuple[Encoder, Decoder]:
+    try:
+        return CODECS[name]
+    except KeyError:
+        raise ValueError(f"unknown codec {name!r}; have {sorted(CODECS)}") from None
+
+
+__all__ = ["CODECS", "BLOCK_SIZE", "get_codec", "bitpack_encode",
+           "bitpack_decode", "varbyte_encode", "varbyte_decode"]

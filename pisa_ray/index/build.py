@@ -1,0 +1,440 @@
+"""Index build: Ray Data pipeline from a corpus to a sharded inverted index.
+
+Capability parity with the reference's four CLI stages fused into one
+resumable Ray pipeline (parse_collection → invert → compress →
+create_wand_data; see SURVEY.md §3):
+
+    read_parquet(corpus)
+      → map_batches(AnalyzeCountTokens, actor pool)        # tokenize + tf count
+      → [checkpoint] fwd/ parquet: (doc_id, term, tf, doc_len)
+      → groupby-free partial agg + groupby(term).sum        # lexicon stats
+      → sorted_with_rank(term) → lexicon/                   # term_id = rank
+      → map_batches(map_term_ids, broadcast lexicon)       # term → term_id
+      → sort(term_id, doc_id)                               # THE wide shuffle
+      → map_batches(encode_segments_batch)                  # blocks + WAND
+      → write index/ parquet partitioned by term-range shard + manifest
+
+Inversion-by-sort replaces the reference's in-RAM sort + serial batch merge
+(``/root/reference/src/invert.cpp:74-238``): after ``sort(term_id, doc_id)``
+each sorted block is encoded independently; a term whose postings span
+several blocks yields several *segments* with disjoint ascending docid
+ranges, concatenated in first_doc order at read time.  This makes
+term-frequency skew a non-issue: a stopword-grade term's postings simply
+occupy many blocks, each encoded by a separate task — no giant group ever
+materializes in one worker (the salting strategy of SURVEY §4, realized by
+range-partitioned sort instead of explicit salt keys).
+
+Doc lengths are carried as a column through the shuffle (4 bytes/posting)
+rather than broadcasting a num_docs-sized array to every encoder — the
+choice that survives 10^12 documents.
+
+Every stage writes Parquet + a manifest (row counts, config hash); a re-run
+with ``resume=True`` skips completed stages — mirroring the reference's
+re-runnable merge / staged artifacts (``tools/parse_collection.cpp:45-52``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+from typing import Dict, Optional
+
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from pisa_ray.analysis.analyzer import AnalyzerConfig, TextAnalyzer
+from pisa_ray.codecs import BLOCK_SIZE
+from pisa_ray.index.postings import encode_segment
+from pisa_ray.query.scorers import CollectionStats, make_scorer
+from pisa_ray.utils import sorted_with_rank
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    tokenizer: str = "english"
+    token_filters: tuple = ("lowercase",)
+    stopwords: tuple = ()
+    scorer: str = "bm25"
+    score_dtype: str = "float32"  # float32 = reference parity; float64 = SQL-oracle parity
+    block_size: int = BLOCK_SIZE
+    codec: str = "bitpack"
+    num_shards: int = 8
+    quantize_bits: int = 0  # 0 = no quantization; 8 = reference default when on
+    scorer_params: tuple = ()  # e.g. (("k1", 0.9), ("b", 0.4))
+
+    def analyzer_config(self) -> AnalyzerConfig:
+        return AnalyzerConfig(
+            tokenizer=self.tokenizer,
+            token_filters=tuple(self.token_filters),
+            stopwords=frozenset(self.stopwords),
+        )
+
+    def config_hash(self) -> str:
+        return hashlib.sha256(
+            json.dumps(asdict(self), sort_keys=True, default=str).encode()
+        ).hexdigest()[:16]
+
+
+# ---------------------------------------------------------------------------
+# manifests / resume
+
+def _manifest_path(stage_dir: str) -> str:
+    return os.path.join(stage_dir, "_MANIFEST.json")
+
+
+def stage_complete(stage_dir: str, cfg_hash: str) -> bool:
+    p = _manifest_path(stage_dir)
+    if not os.path.exists(p):
+        return False
+    try:
+        with open(p) as f:
+            m = json.load(f)
+        return m.get("config_hash") == cfg_hash and m.get("complete", False)
+    except (json.JSONDecodeError, OSError):
+        return False
+
+
+def _fresh_stage_dir(stage_dir: str) -> str:
+    """Remove a stale/incomplete stage dir so a rerun can't mix old and new
+    part files (the manifest is only written after a complete write)."""
+    if os.path.exists(stage_dir):
+        shutil.rmtree(stage_dir)
+    return stage_dir
+
+
+def write_manifest(stage_dir: str, cfg_hash: str, **extra) -> None:
+    os.makedirs(stage_dir, exist_ok=True)
+    m = {"config_hash": cfg_hash, "complete": True,
+         "written_at": time.time(), **extra}
+    tmp = _manifest_path(stage_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(m, f, indent=2)
+    os.replace(tmp, _manifest_path(stage_dir))
+
+
+# ---------------------------------------------------------------------------
+# stage 1: analyze + count  (stateful actor: compiled regex, stemmer cache)
+
+class AnalyzeCountTokens:
+    """map_batches actor: (doc_id, text|html) → (doc_id, term, tf, doc_len).
+
+    Setup (analyzer build, optional url→doc_id broadcast dict) happens once
+    per actor in __init__; __call__ is per Arrow batch (zero-copy in).
+    """
+
+    def __init__(self, config: AnalyzerConfig, text_col: str, id_col: Optional[str],
+                 url_col: Optional[str], html_col: Optional[str],
+                 url_to_doc_ref=None):
+        cfg = config
+        if html_col is not None:
+            cfg = AnalyzerConfig(
+                tokenizer=cfg.tokenizer, token_filters=cfg.token_filters,
+                stopwords=cfg.stopwords, strip_html=True)
+        self.analyzer = TextAnalyzer(cfg)
+        self.text_col = html_col or text_col
+        self.id_col = id_col
+        self.url_col = url_col
+        self.url_to_doc = ray.get(url_to_doc_ref) if url_to_doc_ref is not None else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        doc_idx, terms, tfs, doc_lens = self.analyzer.count_batch(texts)
+        if self.id_col is not None:
+            doc_ids_all = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            urls = batch[self.url_col].to_pylist()
+            doc_ids_all = np.fromiter(
+                (self.url_to_doc[u] for u in urls), dtype=np.uint64, count=len(urls))
+        return pa.table({
+            "doc_id": pa.array(doc_ids_all[doc_idx], type=pa.uint64()),
+            "term": pa.array(terms.astype(str), type=pa.string()),
+            "tf": pa.array(tfs, type=pa.uint32()),
+            "doc_len": pa.array(doc_lens[doc_idx], type=pa.uint32()),
+        })
+
+
+# ---------------------------------------------------------------------------
+# stage 2: lexicon (partial agg inside map_batches → small groupby → rank)
+
+def _partial_term_stats(batch: pa.Table) -> pa.Table:
+    g = pa.TableGroupBy(batch.select(["term", "tf"]), "term").aggregate(
+        [("tf", "count"), ("tf", "sum")])
+    return pa.table({
+        "term": g.column("term"),
+        "df_part": pc.cast(g.column("tf_count"), pa.int64()),
+        "occ_part": pc.cast(g.column("tf_sum"), pa.int64()),
+    })
+
+
+def build_lexicon(fwd: "ray.data.Dataset") -> "ray.data.Dataset":
+    """term → (term_id = sorted rank, df, occ).  The groupby shuffles only
+    per-batch partials (≤ vocab-size rows per input block), not postings."""
+    partials = fwd.map_batches(_partial_term_stats, batch_format="pyarrow")
+    agg = partials.groupby("term").sum(["df_part", "occ_part"])
+    agg = agg.map_batches(
+        lambda t: pa.table({
+            "term": t["term"],
+            "df": t["sum(df_part)"],
+            "occ": t["sum(occ_part)"],
+        }),
+        batch_format="pyarrow",
+    )
+    return sorted_with_rank(agg, "term", "term_id", pa.uint32())
+
+
+# ---------------------------------------------------------------------------
+# stage 3: term-id remap (broadcast sorted term list; id = position)
+#
+# These wide-pipeline stages are plain *task* functions, not actor pools: an
+# actor pool pins CPUs for the stage's whole lifetime, and two pools around
+# a sort deadlock a small cluster (pools hold every CPU while the shuffle
+# between them waits for one).  The broadcast state is ray.put once and
+# cached per worker process instead.
+
+_WORKER_CACHE: Dict = {}
+
+
+def _cached_get(ref):
+    val = _WORKER_CACHE.get(ref)
+    if val is None:
+        val = ray.get(ref)
+        _WORKER_CACHE[ref] = val
+    return val
+
+
+def map_term_ids(batch: pa.Table, *, terms_ref) -> pa.Table:
+    """Vectorized term→term_id: ``pc.index_in`` against the sorted lexicon
+    (position in the sorted value_set IS the term id).  At 10^9-term scale,
+    swap the broadcast for a hash join on ``term`` (SURVEY §2.5)."""
+    terms = _cached_get(terms_ref)
+    ids = pc.index_in(batch["term"], value_set=terms)
+    return pa.table({
+        "term_id": pc.cast(ids, pa.uint32()),
+        "doc_id": batch["doc_id"],
+        "tf": batch["tf"],
+        "doc_len": batch["doc_len"],
+    })
+
+
+# ---------------------------------------------------------------------------
+# stage 4: encode sorted runs into posting-list segments
+
+def encode_segments_batch(batch: pa.Table, *, stats: CollectionStats,
+                          term_stats_ref, config: IndexConfig) -> pa.Table:
+    """map_batches over (term_id, doc_id)-sorted blocks: encode each
+    term-run as one segment row (blocks + WAND metadata in one pass,
+    mirroring the fused compress+wand design of SURVEY §3.3)."""
+    cfg = config
+    df_arr, occ_arr = _cached_get(term_stats_ref)
+    num_terms = len(df_arr)
+    dtype = np.float32 if cfg.score_dtype == "float32" else np.float64
+    scorer = make_scorer(cfg.scorer, dtype=dtype, **dict(cfg.scorer_params))
+    term_ids = batch["term_id"].to_numpy(zero_copy_only=False)
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    tfs = batch["tf"].to_numpy(zero_copy_only=False).astype(np.uint32)
+    doc_lens = batch["doc_len"].to_numpy(zero_copy_only=False).astype(np.uint32)
+
+    rows: Dict[str, list] = {k: [] for k in (
+        "term_id", "shard", "df", "occ", "first_doc", "last_doc",
+        "doc_payload", "freq_payload", "doc_endpoints", "freq_endpoints",
+        "block_last_docs", "block_max_scores", "max_score")}
+
+    boundaries = np.flatnonzero(np.diff(term_ids)) + 1
+    starts = np.concatenate(([0], boundaries))
+    ends = np.concatenate((boundaries, [len(term_ids)]))
+    for lo, hi in zip(starts, ends):
+        tid = int(term_ids[lo])
+        seg_docs = doc_ids[lo:hi]
+        seg_tfs = tfs[lo:hi]
+        ts = scorer.term_scorer(
+            int(df_arr[tid]), int(occ_arr[tid]), stats)
+        scores = ts(seg_tfs, doc_lens[lo:hi])
+        enc = encode_segment(seg_docs, seg_tfs, scores,
+                             block_size=cfg.block_size, codec=cfg.codec)
+        rows["term_id"].append(tid)
+        rows["shard"].append(tid * cfg.num_shards // max(1, num_terms))
+        rows["occ"].append(int(seg_tfs.sum()))
+        for k in ("df", "first_doc", "last_doc", "doc_payload",
+                  "freq_payload", "doc_endpoints", "freq_endpoints",
+                  "block_last_docs", "block_max_scores", "max_score"):
+            rows[k].append(enc[k])
+
+    return pa.table({
+        "term_id": pa.array(rows["term_id"], type=pa.uint32()),
+        "shard": pa.array(rows["shard"], type=pa.int32()),
+        "df": pa.array([int(x) for x in rows["df"]], type=pa.int64()),
+        "occ": pa.array(rows["occ"], type=pa.int64()),
+        "first_doc": pa.array([int(x) for x in rows["first_doc"]], type=pa.uint64()),
+        "last_doc": pa.array([int(x) for x in rows["last_doc"]], type=pa.uint64()),
+        "doc_payload": pa.array(rows["doc_payload"], type=pa.binary()),
+        "freq_payload": pa.array(rows["freq_payload"], type=pa.binary()),
+        "doc_endpoints": pa.array([x.tolist() for x in rows["doc_endpoints"]],
+                                  type=pa.list_(pa.uint32())),
+        "freq_endpoints": pa.array([x.tolist() for x in rows["freq_endpoints"]],
+                                   type=pa.list_(pa.uint32())),
+        "block_last_docs": pa.array([x.tolist() for x in rows["block_last_docs"]],
+                                    type=pa.list_(pa.uint64())),
+        "block_max_scores": pa.array([x.tolist() for x in rows["block_max_scores"]],
+                                     type=pa.list_(pa.float32())),
+        "max_score": pa.array([float(x) for x in rows["max_score"]],
+                              type=pa.float32()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# the pipeline
+
+def build_index(
+    corpus: "ray.data.Dataset",
+    out_dir: str,
+    *,
+    config: Optional[IndexConfig] = None,
+    text_col: str = "text",
+    id_col: Optional[str] = "doc_id",
+    url_col: Optional[str] = None,
+    html_col: Optional[str] = None,
+    resume: bool = True,
+    analyzer_concurrency: Optional[int] = None,
+    analyzer_batch_size: int = 1024,
+) -> Dict[str, object]:
+    """Build a full index under ``out_dir``.  Returns the stats dict.
+
+    ``id_col``: dense 0..N-1 document ids (like the reference's arrival-order
+    docids).  Pass ``url_col`` (with ``id_col=None``) to assign docids as the
+    global sorted-url rank — the reference's "reorder by URL feature"
+    (``/root/reference/include/pisa/reorder_docids.hpp:240-266``) for free.
+    ``html_col``: extract text from this binary column first (byte-identical
+    gumbo semantics) instead of reading ``text_col``.
+    """
+    config = config or IndexConfig()
+    if analyzer_concurrency is None:
+        # leave headroom for the read/write/shuffle stages so the actor
+        # pools don't starve them
+        analyzer_concurrency = max(
+            2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    cfg_hash = config.config_hash()
+    paths = {s: os.path.join(out_dir, s)
+             for s in ("fwd", "lexicon", "index", "docmap", "sizes")}
+    os.makedirs(out_dir, exist_ok=True)
+
+    # -- docid assignment ---------------------------------------------------
+    url_to_doc_ref = None
+    num_docs = None
+    if id_col is None:
+        if url_col is None:
+            raise ValueError("need id_col or url_col")
+        if resume and stage_complete(paths["docmap"], cfg_hash):
+            docmap = ray.data.read_parquet(paths["docmap"])
+        else:
+            docmap = sorted_with_rank(
+                corpus.select_columns([url_col]), url_col, "doc_id", pa.uint64())
+            docmap.write_parquet(_fresh_stage_dir(paths["docmap"]))
+            write_manifest(paths["docmap"], cfg_hash)
+            docmap = ray.data.read_parquet(paths["docmap"])
+        dm = docmap.to_pandas()  # small: (url, doc_id); at 10^12 docs use a join
+        num_docs = len(dm)
+        url_to_doc_ref = ray.put(dict(zip(dm[url_col], dm["doc_id"])))
+    else:
+        num_docs = corpus.count()
+
+    def _trace(msg):
+        if os.environ.get("PISA_RAY_TRACE"):
+            print(f"[build {time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+    _trace("docids done")
+    # -- stage: fwd (analyze + count) --------------------------------------
+    if not (resume and stage_complete(paths["fwd"], cfg_hash)):
+        fwd = corpus.map_batches(
+            AnalyzeCountTokens,
+            fn_constructor_args=(config.analyzer_config(), text_col, id_col,
+                                 url_col, html_col, url_to_doc_ref),
+            batch_format="pyarrow",
+            batch_size=analyzer_batch_size,
+            concurrency=analyzer_concurrency,
+            num_cpus=1,
+        )
+        _trace("fwd: writing")
+        fwd.write_parquet(_fresh_stage_dir(paths["fwd"]))
+        write_manifest(paths["fwd"], cfg_hash)
+    _trace("fwd done")
+    fwd = ray.data.read_parquet(paths["fwd"])
+
+    # -- stage: sizes + stats ----------------------------------------------
+    if not (resume and stage_complete(paths["sizes"], cfg_hash)):
+        def _partial_sizes(t: pa.Table) -> pa.Table:
+            g = pa.TableGroupBy(t.select(["doc_id", "doc_len"]),
+                                "doc_id").aggregate([("doc_len", "max")])
+            return pa.table({"doc_id": g.column("doc_id"),
+                             "doc_len": g.column("doc_len_max")})
+
+        sizes = (
+            fwd.map_batches(_partial_sizes, batch_format="pyarrow")
+            .groupby("doc_id").max("doc_len")
+            .map_batches(
+                lambda t: pa.table({"doc_id": t.column("doc_id"),
+                                    "doc_len": t.column("max(doc_len)")}),
+                batch_format="pyarrow")
+        )
+        _trace("sizes: writing")
+        sizes.write_parquet(_fresh_stage_dir(paths["sizes"]))
+        write_manifest(paths["sizes"], cfg_hash)
+    sizes = ray.data.read_parquet(paths["sizes"])
+    collection_len = int(sizes.sum("doc_len") or 0)
+    stats = CollectionStats(
+        num_docs=int(num_docs),
+        avg_len=collection_len / num_docs if num_docs else 0.0,
+        collection_len=collection_len,
+    )
+    with open(os.path.join(out_dir, "stats.json"), "w") as f:
+        json.dump(asdict(stats), f)
+
+    _trace("sizes+stats done")
+    # -- stage: lexicon -----------------------------------------------------
+    if not (resume and stage_complete(paths["lexicon"], cfg_hash)):
+        lexicon = build_lexicon(fwd)
+        _trace("lexicon: writing")
+        lexicon.write_parquet(_fresh_stage_dir(paths["lexicon"]))
+        write_manifest(paths["lexicon"], cfg_hash)
+    lex_table = pa.concat_tables(
+        [pq.read_table(os.path.join(paths["lexicon"], f))
+         for f in sorted(os.listdir(paths["lexicon"])) if f.endswith(".parquet")]
+    ).sort_by("term_id")
+    num_terms = lex_table.num_rows
+
+    _trace("lexicon done")
+    # -- stage: encode ------------------------------------------------------
+    if not (resume and stage_complete(paths["index"], cfg_hash)):
+        terms_ref = ray.put(lex_table["term"].combine_chunks())
+        df_np = lex_table["df"].to_numpy()
+        occ_np = lex_table["occ"].to_numpy()
+        term_stats_ref = ray.put((df_np, occ_np))
+        encoded = (
+            fwd.map_batches(map_term_ids, fn_kwargs={"terms_ref": terms_ref},
+                            batch_format="pyarrow")
+            .sort(["term_id", "doc_id"])
+            .map_batches(encode_segments_batch,
+                         fn_kwargs={"stats": stats,
+                                    "term_stats_ref": term_stats_ref,
+                                    "config": config},
+                         batch_format="pyarrow",
+                         batch_size=None)  # one call per sorted block
+        )
+        _trace("encode: writing")
+        encoded.write_parquet(_fresh_stage_dir(paths["index"]),
+                              partition_cols=["shard"])
+        write_manifest(paths["index"], cfg_hash, num_terms=int(num_terms),
+                       num_shards=config.num_shards)
+
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump({**asdict(config), "config_hash": cfg_hash,
+                   "num_terms": int(num_terms)}, f, indent=2, default=str)
+    return {"stats": stats, "num_terms": num_terms, "out_dir": out_dir}

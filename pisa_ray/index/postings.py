@@ -1,0 +1,154 @@
+"""Posting-list segment encoding: blocks + WAND metadata, in one pass.
+
+A *segment* is the postings of one ``(term_id, salt)`` group: docids
+strictly ascending.  Hot (stopword-grade) terms are split by the salt into
+docid-range subsegments that are encoded independently and concatenated in
+salt order at read time — the block framing makes lists mergeable, the same
+property the reference relies on when re-assembling lists from blocks
+(``/root/reference/include/pisa/block_posting_list.hpp:52-78``).
+
+Per segment we store (mirroring the reference's compressed list + WAND data
+in one structure):
+
+* ``doc_payload``  — concatenated encoded blocks of docid gaps − 1; block 0
+  encodes its first docid absolute (prev = -1), later blocks delta from the
+  previous block's last docid, so any block is decodable given
+  ``block_last_docs[b-1]`` (skip-friendly).
+* ``freq_payload`` — concatenated encoded blocks of ``tf − 1``.
+* ``doc_endpoints`` / ``freq_endpoints`` — byte offsets of block starts.
+* ``block_last_docs`` — last docid per block (u64).
+* ``block_max_scores`` — per-block max score (float32), computed like the
+  reference's fixed-size block partition
+  (``/root/reference/include/pisa/wand_utils.hpp:23-54``).
+* ``max_score`` — per-segment max score (the per-term max is the max over
+  segments, aggregated by the index reader).
+
+Framing conventions (gap−1 / tf−1, 128-int blocks) follow
+``/root/reference/include/pisa/block_posting_list.hpp:12-50``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from pisa_ray.codecs import BLOCK_SIZE, get_codec
+
+
+def encode_segment(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    scores: Optional[np.ndarray] = None,
+    *,
+    block_size: int = BLOCK_SIZE,
+    codec: str = "bitpack",
+) -> Dict[str, object]:
+    """Encode one segment (ascending docids). ``scores`` aligned with
+    postings enables WAND metadata; pass None to skip (max fields = 0)."""
+    enc, _ = get_codec(codec)
+    n = len(doc_ids)
+    if n == 0:
+        raise ValueError("empty segment")
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint32)
+
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = doc_ids[0]  # prev = -1 → gap-1 == docid
+    np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:])
+    gaps[1:] -= 1
+    if gaps.max() > 0xFFFFFFFF:
+        raise ValueError(
+            "docid gap exceeds u32; use shard-local docids (PISA-compatible) "
+            "or a narrower salt range"
+        )
+    gaps32 = gaps.astype(np.uint32)
+    tfs_m1 = tfs - 1
+
+    nblocks = (n + block_size - 1) // block_size
+    doc_chunks, freq_chunks = [], []
+    doc_endpoints = np.zeros(nblocks + 1, dtype=np.uint32)
+    freq_endpoints = np.zeros(nblocks + 1, dtype=np.uint32)
+    for b in range(nblocks):
+        lo, hi = b * block_size, min((b + 1) * block_size, n)
+        doc_chunks.append(enc(gaps32[lo:hi]))
+        freq_chunks.append(enc(tfs_m1[lo:hi]))
+        doc_endpoints[b + 1] = doc_endpoints[b] + len(doc_chunks[-1])
+        freq_endpoints[b + 1] = freq_endpoints[b] + len(freq_chunks[-1])
+
+    block_last_docs = doc_ids[np.minimum(
+        np.arange(1, nblocks + 1) * block_size, n) - 1]
+
+    if scores is not None:
+        scores = scores.astype(np.float32, copy=False)
+        pad = nblocks * block_size - n
+        padded = np.pad(scores, (0, pad), constant_values=-np.inf) if pad else scores
+        block_max_scores = padded.reshape(nblocks, block_size).max(axis=1)
+        max_score = np.float32(scores.max())
+    else:
+        block_max_scores = np.zeros(nblocks, dtype=np.float32)
+        max_score = np.float32(0.0)
+
+    return {
+        "df": np.int64(n),
+        "first_doc": doc_ids[0],
+        "last_doc": doc_ids[-1],
+        "doc_payload": b"".join(doc_chunks),
+        "freq_payload": b"".join(freq_chunks),
+        "doc_endpoints": doc_endpoints,
+        "freq_endpoints": freq_endpoints,
+        "block_last_docs": block_last_docs,
+        "block_max_scores": block_max_scores,
+        "max_score": max_score,
+    }
+
+
+class SegmentView:
+    """Lazily block-decodable view over one encoded segment."""
+
+    __slots__ = ("n", "block_size", "doc_payload", "freq_payload",
+                 "doc_endpoints", "freq_endpoints", "block_last_docs",
+                 "block_max_scores", "max_score", "_dec")
+
+    def __init__(self, row: Dict[str, object], *, block_size: int = BLOCK_SIZE,
+                 codec: str = "bitpack"):
+        _, self._dec = get_codec(codec)
+        self.n = int(row["df"])
+        self.block_size = block_size
+        self.doc_payload = row["doc_payload"]
+        self.freq_payload = row["freq_payload"]
+        self.doc_endpoints = np.asarray(row["doc_endpoints"], dtype=np.uint32)
+        self.freq_endpoints = np.asarray(row["freq_endpoints"], dtype=np.uint32)
+        self.block_last_docs = np.asarray(row["block_last_docs"], dtype=np.uint64)
+        self.block_max_scores = np.asarray(row["block_max_scores"], dtype=np.float32)
+        self.max_score = float(row["max_score"])
+
+    @property
+    def num_blocks(self) -> int:
+        return len(self.block_last_docs)
+
+    def block_len(self, b: int) -> int:
+        return min((b + 1) * self.block_size, self.n) - b * self.block_size
+
+    def decode_block_docs(self, b: int) -> np.ndarray:
+        """Absolute docids of block ``b`` (u64)."""
+        lo, hi = int(self.doc_endpoints[b]), int(self.doc_endpoints[b + 1])
+        gaps = self._dec(self.doc_payload[lo:hi], self.block_len(b)).astype(np.uint64)
+        base = np.uint64(0) if b == 0 else self.block_last_docs[b - 1] + np.uint64(1)
+        gaps[0] += base
+        gaps[1:] += 1
+        return np.cumsum(gaps, dtype=np.uint64)
+
+    def decode_block_freqs(self, b: int) -> np.ndarray:
+        lo, hi = int(self.freq_endpoints[b]), int(self.freq_endpoints[b + 1])
+        return self._dec(self.freq_payload[lo:hi], self.block_len(b)) + 1
+
+    def decode_docs(self) -> np.ndarray:
+        if self.num_blocks == 0:
+            return np.empty(0, dtype=np.uint64)
+        return np.concatenate([self.decode_block_docs(b) for b in range(self.num_blocks)])
+
+    def decode_freqs(self) -> np.ndarray:
+        if self.num_blocks == 0:
+            return np.empty(0, dtype=np.uint32)
+        return np.concatenate([self.decode_block_freqs(b) for b in range(self.num_blocks)])

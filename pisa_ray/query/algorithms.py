@@ -1,0 +1,331 @@
+"""Retrieval algorithms: exhaustive + dynamic-pruning top-k kernels.
+
+Re-implementations (from the published algorithms, over our cursor API) of
+the reference's query kernels (``/root/reference/include/pisa/query/
+algorithm/*.hpp``; dispatch table ``tools/queries.cpp:175-288``):
+
+* ``ranked_or``       — exhaustive DAAT union (the correctness oracle)
+* ``ranked_or_taat``  — TAAT with a dense accumulator, numpy-vectorized
+                        (the batch/throughput path; identical float32 sums)
+* ``ranked_and``      — DAAT conjunction
+* ``wand``            — WAND pivoting on per-term max scores (CIKM'03)
+* ``block_max_wand``  — BMW: per-block max checks + shallow advances (SIGIR'11)
+* ``maxscore``        — essential/non-essential split (Turtle & Flood '95)
+* ``and_query`` / ``or_query`` — boolean intersection / union (doc counts)
+
+All pruning algorithms must return the same top-k as ``ranked_or``; the
+test suite enforces rank-identity (the reference's own equivalence-test
+strategy, ``test/test_ranked_queries.cpp:18-146``).
+
+These are *serving-side kernels*: parallelism comes from fanning queries
+across an actor pool and the index across shards (SURVEY §2.9), not from
+Ray tasks inside a query.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from pisa_ray.query.cursors import Cursor
+from pisa_ray.query.topk import TopKQueue
+
+
+# ---------------------------------------------------------------------------
+# exhaustive
+
+def ranked_or(cursors: List[Cursor], doc_lens: np.ndarray, k: int,
+              initial_threshold: float = 0.0) -> TopKQueue:
+    q = TopKQueue(k, initial_threshold)
+    if not cursors:
+        return q
+    sentinel = cursors[0].end_sentinel
+    cur = min(c.docid() for c in cursors)
+    while cur < sentinel:
+        score = 0.0
+        nxt = sentinel
+        for c in cursors:
+            if c.docid() == cur:
+                score += c.score(doc_lens)
+                c.next()
+            d = c.docid()
+            if d < nxt:
+                nxt = d
+        q.insert(score, cur)
+        cur = nxt
+    return q
+
+
+def ranked_or_taat(cursors: List[Cursor], doc_lens: np.ndarray, k: int,
+                   initial_threshold: float = 0.0) -> TopKQueue:
+    """TAAT: decode each list fully, accumulate into a dense score array
+    (``Simple_Accumulator`` analogue, ``include/pisa/accumulator/
+    simple_accumulator.hpp``), then top-k by argpartition.  Sums per doc
+    happen in the same cursor order as ranked_or → identical float32."""
+    q = TopKQueue(k, initial_threshold)
+    if not cursors:
+        return q
+    n = len(doc_lens)
+    acc = np.zeros(n, dtype=np.float32)
+    touched = np.zeros(n, dtype=bool)
+    for c in cursors:
+        docs, freqs = c.pl.decode()
+        idx = docs.astype(np.int64)
+        scores = (c.scorer(freqs, doc_lens[idx]) * c.q_weight).astype(np.float32)
+        acc[idx] += scores
+        touched[idx] = True
+    cand = np.flatnonzero(touched)
+    if len(cand) == 0:
+        return q
+    scores = acc[cand]
+    # deterministic (score desc, docid asc) order — argpartition alone would
+    # break boundary score-ties arbitrarily
+    order = np.lexsort((cand, -scores.astype(np.float64)))[: max(k, 0)]
+    for i in order:
+        q.insert(float(scores[i]), int(cand[i]))
+    return q
+
+
+def ranked_and(cursors: List[Cursor], doc_lens: np.ndarray, k: int,
+               initial_threshold: float = 0.0) -> TopKQueue:
+    q = TopKQueue(k, initial_threshold)
+    if not cursors:
+        return q
+    cs = sorted(cursors, key=lambda c: c.pl.df)  # rarest first
+    sentinel = cs[0].end_sentinel
+    candidate = cs[0].docid()
+    while candidate < sentinel:
+        i = 1
+        while i < len(cs):
+            cs[i].next_geq(candidate)
+            if cs[i].docid() != candidate:
+                candidate = cs[i].docid()
+                i = 0
+                if candidate >= sentinel:
+                    break
+                cs[0].next_geq(candidate)
+                if cs[0].docid() != candidate:
+                    candidate = cs[0].docid()
+                    continue
+                i = 1
+            else:
+                i += 1
+        if candidate >= sentinel:
+            break
+        score = sum(c.score(doc_lens) for c in cs)
+        q.insert(score, candidate)
+        cs[0].next()
+        candidate = cs[0].docid()
+    return q
+
+
+# ---------------------------------------------------------------------------
+# boolean
+
+def and_count(cursors: List[Cursor]) -> int:
+    if not cursors:
+        return 0
+    cs = sorted(cursors, key=lambda c: c.pl.df)
+    sentinel = cs[0].end_sentinel
+    count = 0
+    candidate = cs[0].docid()
+    while candidate < sentinel:
+        ok = True
+        for c in cs[1:]:
+            c.next_geq(candidate)
+            if c.docid() != candidate:
+                ok = False
+                candidate = max(candidate + 1, c.docid())
+                cs[0].next_geq(candidate)
+                candidate = cs[0].docid()
+                break
+        if ok:
+            count += 1
+            cs[0].next()
+            candidate = cs[0].docid()
+    return count
+
+
+def or_count(cursors: List[Cursor]) -> int:
+    if not cursors:
+        return 0
+    sentinel = cursors[0].end_sentinel
+    count = 0
+    cur = min(c.docid() for c in cursors)
+    while cur < sentinel:
+        count += 1
+        nxt = sentinel
+        for c in cursors:
+            if c.docid() == cur:
+                c.next()
+            d = c.docid()
+            if d < nxt:
+                nxt = d
+        cur = nxt
+    return count
+
+
+# ---------------------------------------------------------------------------
+# WAND family
+
+def wand(cursors: List[Cursor], doc_lens: np.ndarray, k: int,
+         initial_threshold: float = 0.0) -> TopKQueue:
+    q = TopKQueue(k, initial_threshold)
+    if not cursors:
+        return q
+    sentinel = cursors[0].end_sentinel
+    ordered = list(cursors)
+    while True:
+        ordered.sort(key=lambda c: c.docid())
+        # find pivot: first cursor where the running max-score bound
+        # exceeds the threshold
+        bound = 0.0
+        pivot = None
+        for i, c in enumerate(ordered):
+            if c.docid() >= sentinel:
+                break
+            bound += c.max_score
+            if q.would_enter(bound):
+                pivot = i
+                break
+        if pivot is None:
+            break
+        pivot_doc = ordered[pivot].docid()
+        if pivot_doc >= sentinel:
+            break
+        if ordered[0].docid() == pivot_doc:
+            score = 0.0
+            for c in ordered:
+                if c.docid() != pivot_doc:
+                    break
+                score += c.score(doc_lens)
+                c.next()
+            q.insert(score, pivot_doc)
+        else:
+            # advance the cursor with the largest max_score among those
+            # strictly before pivot_doc (cursors at pivot_doc must stay put)
+            adv = max((i for i in range(pivot)
+                       if ordered[i].docid() < pivot_doc),
+                      key=lambda i: ordered[i].max_score)
+            ordered[adv].next_geq(pivot_doc)
+    return q
+
+
+def block_max_wand(cursors: List[Cursor], doc_lens: np.ndarray, k: int,
+                   initial_threshold: float = 0.0) -> TopKQueue:
+    q = TopKQueue(k, initial_threshold)
+    if not cursors:
+        return q
+    sentinel = cursors[0].end_sentinel
+    ordered = list(cursors)
+    while True:
+        ordered.sort(key=lambda c: c.docid())
+        bound = 0.0
+        pivot = None
+        for i, c in enumerate(ordered):
+            if c.docid() >= sentinel:
+                break
+            bound += c.max_score
+            if q.would_enter(bound):
+                pivot = i
+                break
+        if pivot is None:
+            break
+        pivot_doc = ordered[pivot].docid()
+        if pivot_doc >= sentinel:
+            break
+        # block-max refinement: align block pointers to pivot_doc and check
+        # the per-block bound
+        block_bound = 0.0
+        for c in ordered[: pivot + 1]:
+            c.block_max_next_geq(pivot_doc)
+            block_bound += c.block_max_score()
+        if q.would_enter(block_bound):
+            if ordered[0].docid() == pivot_doc:
+                score = 0.0
+                for c in ordered:
+                    if c.docid() != pivot_doc:
+                        break
+                    score += c.score(doc_lens)
+                    c.next()
+                q.insert(score, pivot_doc)
+            else:
+                adv = max((i for i in range(pivot)
+                           if ordered[i].docid() < pivot_doc),
+                          key=lambda i: ordered[i].max_score)
+                ordered[adv].next_geq(pivot_doc)
+        else:
+            # the current blocks can't beat the threshold: jump past the
+            # smallest block boundary among the lead cursors
+            next_doc = min(c.block_max_docid() for c in ordered[: pivot + 1])
+            next_doc += 1
+            if pivot + 1 < len(ordered):
+                next_doc = min(next_doc, ordered[pivot + 1].docid())
+            if next_doc >= sentinel:
+                # all lead cursors exhausted their blocks past sentinel
+                for c in ordered[: pivot + 1]:
+                    c.next_geq(sentinel)
+                continue
+            candidates = [i for i in range(pivot + 1)
+                          if ordered[i].docid() < next_doc]
+            if candidates:
+                adv = max(candidates, key=lambda i: ordered[i].max_score)
+                ordered[adv].next_geq(next_doc)
+            else:
+                # every lead cursor already sits at/past next_doc; force
+                # progress on the leftmost one
+                ordered[0].next()
+    return q
+
+
+def maxscore(cursors: List[Cursor], doc_lens: np.ndarray, k: int,
+             initial_threshold: float = 0.0) -> TopKQueue:
+    q = TopKQueue(k, initial_threshold)
+    if not cursors:
+        return q
+    sentinel = cursors[0].end_sentinel
+    # sort by max_score descending; suffix sums = upper bounds of tails
+    cs = sorted(cursors, key=lambda c: c.max_score, reverse=True)
+    m = len(cs)
+    upper = np.zeros(m + 1, dtype=np.float64)
+    for i in range(m - 1, -1, -1):
+        upper[i] = upper[i + 1] + cs[i].max_score
+    first_ne = m  # start of non-essential tail
+    cur = min(c.docid() for c in cs)
+    while cur < sentinel:
+        # update essential/non-essential split as threshold grows
+        while first_ne > 0 and upper[first_ne - 1] <= q.threshold:
+            first_ne -= 1
+        if first_ne == 0:
+            break
+        essential = cs[:first_ne]
+        score = 0.0
+        nxt = sentinel
+        for c in essential:
+            if c.docid() == cur:
+                score += c.score(doc_lens)
+                c.next()
+            d = c.docid()
+            if d < nxt:
+                nxt = d
+        # non-essential lists: add with upper-bound early exit
+        for i in range(first_ne, m):
+            if not q.would_enter(score + upper[i]):
+                break
+            cs[i].next_geq(cur)
+            if cs[i].docid() == cur:
+                score += cs[i].score(doc_lens)
+        q.insert(score, cur)
+        cur = nxt
+    return q
+
+
+ALGORITHMS = {
+    "ranked_or": ranked_or,
+    "ranked_or_taat": ranked_or_taat,
+    "ranked_and": ranked_and,
+    "wand": wand,
+    "block_max_wand": block_max_wand,
+    "maxscore": maxscore,
+}

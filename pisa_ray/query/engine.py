@@ -1,0 +1,144 @@
+"""Query serving: term processing, per-query execution, Ray actor-pool fanout.
+
+Mirrors the reference's serving shape: the whole index is loaded once per
+process and queries run in parallel across it
+(``/root/reference/tools/queries.cpp:118-295``,
+``tools/evaluate_queries.cpp:142-147``).  Here each *actor* in a
+``map_batches`` pool over the query Dataset holds one ``InvertedIndex``
+(loaded in ``__init__``), and Ray schedules query batches across the pool —
+queries fan out across actors, shards fan out across indexes (per-shard
+top-k merged by score desc / docid asc, rank-identical because collection
+stats are global).
+
+Query-side term processing follows the reference TermProcessor
+(``include/pisa/query/term_processor.hpp:19-63``): run the same analyzer
+chain, look terms up in the sorted lexicon, drop unknowns, then either
+dedup (sorted unique, ``src/query/queries.cpp:101-108``) or keep
+multiplicities as weights (``query_freqs``, ``:110-120``).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from pisa_ray.analysis.analyzer import AnalyzerConfig, TextAnalyzer
+from pisa_ray.index.reader import InvertedIndex
+from pisa_ray.query.algorithms import ALGORITHMS, and_count, or_count
+from pisa_ray.query.cursors import make_cursors
+from pisa_ray.query.scorers import make_scorer
+
+
+class QueryEngine:
+    def __init__(self, index_dir: str, *, scorer: Optional[str] = None,
+                 score_dtype: Optional[str] = None,
+                 analyzer: Optional[AnalyzerConfig] = None):
+        self.index = InvertedIndex(index_dir)
+        cfg = self.index.config
+        scorer_name = scorer or cfg.get("scorer", "bm25")
+        dtype_name = score_dtype or cfg.get("score_dtype", "float32")
+        dtype = np.float32 if dtype_name == "float32" else np.float64
+        params = dict(cfg.get("scorer_params") or {})
+        self.scorer = make_scorer(scorer_name, dtype=dtype, **params)
+        self.analyzer = TextAnalyzer(analyzer or AnalyzerConfig(
+            tokenizer=cfg.get("tokenizer", "english"),
+            token_filters=tuple(cfg.get("token_filters", ("lowercase",))),
+            stopwords=frozenset(cfg.get("stopwords", ())),
+        ))
+
+    # -- term processing ----------------------------------------------------
+    def parse_query(self, text: str, weighted: bool = False
+                    ) -> Tuple[List[int], Optional[List[float]]]:
+        toks = self.analyzer.analyze(text)
+        ids = [t for t in self.index.term_ids(toks) if t is not None]
+        if weighted:
+            freqs = Counter(ids)
+            terms = sorted(freqs)
+            return terms, [float(freqs[t]) for t in terms]
+        return sorted(set(ids)), None
+
+    # -- execution ----------------------------------------------------------
+    def run(self, query: str, k: int = 10, algorithm: str = "ranked_or_taat",
+            weighted: bool = False, initial_threshold: float = 0.0
+            ) -> List[Tuple[float, int]]:
+        """→ [(score, doc_id)] descending, ties by doc_id asc."""
+        term_ids, weights = self.parse_query(query, weighted)
+        cursors = make_cursors(self.index, term_ids, self.scorer, weights)
+        algo = ALGORITHMS[algorithm]
+        q = algo(cursors, self.index.doc_lens, k, initial_threshold)
+        return q.finalize()
+
+    def threshold(self, query: str, k: int = 10,
+                  algorithm: str = "wand") -> float:
+        """Exact k-th threshold (0 if < k results) — the ``thresholds``
+        tool protocol (``/root/reference/tools/thresholds.cpp:27-55``)."""
+        term_ids, _ = self.parse_query(query)
+        cursors = make_cursors(self.index, term_ids, self.scorer)
+        q = ALGORITHMS[algorithm](cursors, self.index.doc_lens, k)
+        return q.true_threshold()
+
+    def bool_count(self, query: str, op: str = "and") -> int:
+        term_ids, _ = self.parse_query(query)
+        cursors = make_cursors(self.index, term_ids, self.scorer)
+        if op == "and":
+            # unknown terms were dropped by parse_query (the reference's
+            # TermProcessor does the same); the conjunction runs over the
+            # remaining terms
+            if not cursors:
+                return 0
+            return and_count(cursors)
+        return or_count(cursors)
+
+
+class QueryBatchExecutor:
+    """map_batches actor: (qid, query) → (qid, rank, doc_id, score).
+
+    The index loads once per actor (``__init__``); each ``__call__``
+    serves a batch of queries — the Ray-native form of the reference's
+    ``tbb::parallel_for`` over queries."""
+
+    def __init__(self, index_dir: str, k: int = 10,
+                 algorithm: str = "ranked_or_taat", **engine_kwargs):
+        self.engine = QueryEngine(index_dir, **engine_kwargs)
+        self.k = k
+        self.algorithm = algorithm
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docs, scores = [], [], [], []
+        for qid, text in zip(batch["qid"].to_pylist(),
+                             batch["query"].to_pylist()):
+            for rank, (score, doc) in enumerate(
+                    self.engine.run(text, self.k, self.algorithm), 1):
+                qids.append(qid)
+                ranks.append(rank)
+                docs.append(doc)
+                scores.append(score)
+        return pa.table({
+            "qid": pa.array(qids, type=pa.string()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        })
+
+
+def run_queries(queries, index_dir: str, *, k: int = 10,
+                algorithm: str = "ranked_or_taat", concurrency: int = 4,
+                **engine_kwargs):
+    """Fan a query Dataset (or list of (qid, query)) across an actor pool.
+    Returns a Dataset of (qid, rank, doc_id, score)."""
+    import ray.data
+
+    if not hasattr(queries, "map_batches"):
+        queries = ray.data.from_items(
+            [{"qid": q, "query": t} for q, t in queries])
+    return queries.map_batches(
+        QueryBatchExecutor,
+        fn_constructor_args=(index_dir, k, algorithm),
+        fn_constructor_kwargs=engine_kwargs,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )

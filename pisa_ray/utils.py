@@ -1,0 +1,59 @@
+"""Ray Data utilities that the Dataset API cannot express directly.
+
+``sorted_with_rank`` assigns a dense global rank (0..n-1) to a sorted
+Dataset — the distributed analogue of the reference's single-threaded
+"term id = line number in the sorted lexicon" / "docid = arrival order"
+assignments (``/root/reference/src/forward_index_builder.cpp:166-175,
+220-243``).  It sorts, reads per-block row counts from the executed plan's
+metadata, and adds ``offset + arange(len(block))`` per block via raw Ray
+tasks — the one place raw tasks are justified (a global prefix-sum over
+block sizes has no Dataset-API expression).  The dataset is materialized in
+the object store; use it only for the *small* tables (lexicon, doc map),
+never the postings stream.
+"""
+
+from __future__ import annotations
+
+from typing import List, Union
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+@ray.remote
+def _add_rank_block(block: pa.Table, offset: int, col: str, dtype) -> pa.Table:
+    ranks = pa.array(np.arange(offset, offset + block.num_rows), type=dtype)
+    return block.append_column(col, ranks)
+
+
+def sorted_with_rank(
+    ds: "ray.data.Dataset",
+    sort_key: Union[str, List[str]],
+    rank_col: str,
+    dtype: pa.DataType = pa.uint32(),
+) -> "ray.data.Dataset":
+    """Sort ``ds`` by ``sort_key`` and append ``rank_col`` = global row rank."""
+    ds = ds.sort(sort_key)
+    block_refs: List = []
+    counts: List[int] = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for block_ref, meta in bundle.blocks:
+            block_refs.append(block_ref)
+            counts.append(meta.num_rows)
+    offsets = np.zeros(len(counts), dtype=np.int64)
+    if counts:
+        offsets[1:] = np.cumsum(counts[:-1])
+    new_refs = [
+        _add_rank_block.remote(ref, int(off), rank_col, dtype)
+        for ref, off in zip(block_refs, offsets)
+    ]
+    if not new_refs:
+        schema = ds.schema()
+        empty = pa.table(
+            {f.name: pa.array([], type=f.type) for f in schema.base_schema}
+            | {rank_col: pa.array([], type=dtype)}
+        )
+        return ray.data.from_arrow(empty)
+    return ray.data.from_arrow_refs(new_refs)

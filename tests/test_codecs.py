@@ -1,0 +1,73 @@
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pisa_ray.codecs import get_codec
+from pisa_ray.index.postings import encode_segment, SegmentView
+
+
+@pytest.mark.parametrize("codec", ["bitpack", "varbyte"])
+def test_roundtrip_simple(codec):
+    enc, dec = get_codec(codec)
+    for arr in ([0], [1, 2, 3], [0, 0, 0], [2**32 - 1], list(range(200))):
+        a = np.array(arr, dtype=np.uint32)
+        assert list(dec(enc(a), len(a))) == arr
+
+
+@pytest.mark.parametrize("codec", ["bitpack", "varbyte"])
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**32 - 1),
+                min_size=1, max_size=300))
+def test_roundtrip_property(codec, values):
+    enc, dec = get_codec(codec)
+    a = np.array(values, dtype=np.uint32)
+    out = dec(enc(a), len(a))
+    assert out.dtype == np.uint32
+    assert list(out) == values
+
+
+def test_empty():
+    for codec in ("bitpack", "varbyte"):
+        enc, dec = get_codec(codec)
+        assert enc(np.empty(0, dtype=np.uint32)) == b""
+        assert len(dec(b"", 0)) == 0
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.sets(st.integers(min_value=0, max_value=10**6), min_size=1,
+               max_size=1000), st.integers(min_value=1, max_value=5))
+def test_segment_roundtrip(docset, tf_base):
+    docs = np.array(sorted(docset), dtype=np.uint64)
+    tfs = (np.arange(len(docs)) % tf_base + 1).astype(np.uint32)
+    scores = np.log1p(tfs.astype(np.float32))
+    row = encode_segment(docs, tfs, scores, block_size=128)
+    view = SegmentView(row)
+    assert list(view.decode_docs()) == list(docs)
+    assert list(view.decode_freqs()) == list(tfs)
+    # block metadata
+    assert view.num_blocks == (len(docs) + 127) // 128
+    assert view.block_last_docs[-1] == docs[-1]
+    assert np.isclose(view.max_score, scores.max())
+    # per-block maxes cover block slices
+    for b in range(view.num_blocks):
+        lo, hi = b * 128, min((b + 1) * 128, len(docs))
+        assert np.isclose(view.block_max_scores[b], scores[lo:hi].max())
+        assert view.block_last_docs[b] == docs[hi - 1]
+
+
+def test_segment_block_random_access():
+    docs = np.arange(0, 1000, 3, dtype=np.uint64) + 7
+    tfs = np.ones(len(docs), dtype=np.uint32)
+    view = SegmentView(encode_segment(docs, tfs, None, block_size=64),
+                       block_size=64)
+    # decode a middle block directly without touching earlier blocks
+    b = 3
+    lo = b * 64
+    assert list(view.decode_block_docs(b)) == list(docs[lo:lo + 64])
+    assert list(view.decode_block_freqs(b)) == [1] * 64
+
+
+def test_segment_rejects_empty():
+    with pytest.raises(ValueError):
+        encode_segment(np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint32))
