@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()``      — flagship pipeline on /root/testdata/sf0.001: build the
+  full inverted index (analyze → lexicon → sort-shuffle → compressed
+  segments + WAND) over the ``documents`` table and serve the fixed BM25
+  query set with Block-Max WAND through the actor-pool executor.
+* ``queries()``    — one entry per implemented operator/pipeline
+  (SURVEY.md §2 + the training-data ops); see ``pisa_ray.catalog``.
+* ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible entry.
 """
 
 from __future__ import annotations
@@ -20,25 +19,24 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from pisa_ray.catalog import QUERY_SET, get_index_dir
+    from pisa_ray.query.engine import run_queries
+
+    sf_dir = "/root/testdata/sf0.001"
+    index_dir = get_index_dir(sf_dir)
+    queries_list = [(qid, " ".join(terms)) for qid, terms in QUERY_SET]
+    res = run_queries(queries_list, index_dir, k=10,
+                      algorithm="block_max_wand", concurrency=2)
+    return res.to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pisa_ray.catalog import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pisa_ray.catalog import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

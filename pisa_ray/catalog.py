@@ -1,0 +1,792 @@
+"""Driver-contract catalog: named Ray pipelines + matching DuckDB oracles.
+
+Each entry in ``QUERIES`` is a callable ``(sf_dir) -> Dataset | DataFrame |
+Table`` built from the engine's Ray pipelines; ``ORACLE_SQL`` holds the
+ANSI-SQL equivalent DuckDB runs over the same parquet tables (views:
+documents, embeddings, events, ...).  Column names and float rounding are
+aligned on both sides (ranking happens on *rounded* scores with doc-id
+tie-breaks so cross-system 1-ulp differences can't flip ranks).
+
+The full-text entries exercise the real engine path end-to-end: the index
+is built once per ``sf_dir`` by ``build_index`` (float64 scoring so the
+SQL oracle's double arithmetic matches) and cached under /tmp; postings
+entries decode the compressed segments back through a Ray pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from pisa_ray.analysis.tokenizers import ENGLISH_TOKEN_SQL_RE
+
+CACHE_ROOT = "/tmp/pisa_ray_cache"
+
+# ---------------------------------------------------------------------------
+# fixed retrieval query set (simple lowercase terms → tokenization-trivial,
+# so the SQL oracle can take them as a VALUES list)
+
+QUERY_SET: List[tuple] = [
+    ("Q01", ["join"]),
+    ("Q02", ["hash", "join"]),
+    ("Q03", ["join", "hash", "merge"]),
+    ("Q04", ["the"]),
+    ("Q05", ["customer", "window", "group"]),
+    ("Q06", ["spark", "stream", "batch", "scan", "sort"]),
+    ("Q07", ["vector", "line"]),
+    ("Q08", ["data", "query", "small", "row"]),
+    ("Q09", ["join", "join", "hash"]),          # duplicate term (deduped)
+    ("Q10", ["zzznotaword", "join"]),           # unknown term dropped
+    ("Q11", ["table"]),
+    ("Q12", ["slow", "fast", "big", "small", "the"]),
+]
+
+TOPK = 10
+BM25_K1, BM25_B = 0.9, 0.4
+
+
+def _round_match(arr: np.ndarray, ndigits: int) -> np.ndarray:
+    """Round half away from zero — matches DuckDB/SQL ROUND, unlike
+    numpy's banker's rounding."""
+    s = 10.0 ** ndigits
+    a = np.asarray(arr, dtype=np.float64)
+    return np.sign(a) * np.floor(np.abs(a) * s + 0.5) / s
+
+
+# ---------------------------------------------------------------------------
+# index cache
+
+def _docs_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text"])
+
+
+def get_index_dir(sf_dir: str) -> str:
+    """Build (or reuse) the catalog index for this sf_dir: float64 BM25
+    scoring, english+lowercase analyzer (the SQL-replicable chain)."""
+    from pisa_ray.index.build import IndexConfig, build_index
+
+    cfg = IndexConfig(score_dtype="float64", num_shards=4)
+    out = os.path.join(
+        CACHE_ROOT, os.path.basename(os.path.normpath(sf_dir)) + "_" +
+        cfg.config_hash())
+    build_index(_docs_ds(sf_dir), out, config=cfg, resume=True)
+    return out
+
+
+def _engine(sf_dir: str):
+    from pisa_ray.query.engine import QueryEngine
+
+    return QueryEngine(get_index_dir(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# SQL building blocks
+
+_TOKS_CTE = f"""
+raw AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '{ENGLISH_TOKEN_SQL_RE.replace("a-zA-Z", "a-z")}')) AS tok
+    FROM documents
+),
+toks AS (
+    SELECT doc_id,
+           CASE WHEN contains(tok, '.') THEN replace(tok, '.', '')
+                WHEN contains(tok, '''') THEN split_part(tok, '''', 1)
+                ELSE tok END AS term
+    FROM raw
+)"""
+
+_TF_CTES = _TOKS_CTE + """,
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+       FROM toks GROUP BY doc_id),
+stats AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+                 CAST((SELECT count(*) FROM toks) AS DOUBLE) AS cl),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term)"""
+
+
+def _values_queries() -> str:
+    rows = []
+    for qid, terms in QUERY_SET:
+        for t in terms:
+            rows.append(f"('{qid}', '{t}')")
+    return "q(qid, term) AS (VALUES " + ", ".join(rows) + ")"
+
+
+_BM25_WEIGHT_SQL = (
+    "GREATEST(0.000001, ln((s.n - df.df + 0.5) / (df.df + 0.5)))"
+    f" * (1 + {BM25_K1}) * tf.tf / (tf.tf + {BM25_K1} *"
+    f" (1 - {BM25_B} + {BM25_B} * dl.dl / (s.cl / s.n)))"
+)
+
+_RANKED_CTE = f"""WITH {_TF_CTES},
+{_values_queries()},
+qterms AS (SELECT DISTINCT qid, term FROM q),
+scored AS (
+    SELECT qt.qid, tf.doc_id,
+           SUM({_BM25_WEIGHT_SQL}) AS score
+    FROM qterms qt
+    JOIN df USING (term)
+    JOIN tf USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats s
+    GROUP BY qt.qid, tf.doc_id
+),
+ranked AS (
+    SELECT qid, doc_id, round(score, 4) AS score_r,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY round(score, 4) DESC, doc_id) AS rnk
+    FROM scored
+)"""
+
+
+# ---------------------------------------------------------------------------
+# full-text entries
+
+def q_lexicon(sf_dir: str):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    idx_dir = get_index_dir(sf_dir)
+    files = sorted(glob.glob(os.path.join(idx_dir, "lexicon", "*.parquet")))
+    lex = pa.concat_tables([pq.read_table(f) for f in files])
+    return pa.table({
+        "term": lex["term"],
+        "term_id": pc.cast(lex["term_id"], pa.int64()),
+        "df": pc.cast(lex["df"], pa.int64()),
+        "occ": pc.cast(lex["occ"], pa.int64()),
+    })
+
+
+SQL_LEXICON = f"""WITH {_TOKS_CTE},
+agg AS (
+    SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+           CAST(count(*) AS BIGINT) AS occ
+    FROM toks GROUP BY term
+)
+SELECT term, CAST(row_number() OVER (ORDER BY term) - 1 AS BIGINT) AS term_id,
+       df, occ
+FROM agg"""
+
+
+def q_doc_sizes(sf_dir: str):
+    import ray.data
+
+    idx_dir = get_index_dir(sf_dir)
+    sizes = ray.data.read_parquet(os.path.join(idx_dir, "sizes"))
+    return sizes.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "size": pc.cast(t["doc_len"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DOC_SIZES = f"""WITH {_TOKS_CTE}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS size FROM toks GROUP BY doc_id"""
+
+
+def q_postings(sf_dir: str):
+    """Decode the compressed index back to (term, doc_id, tf) with a Ray
+    pipeline over the segment rows — exercises codec round-trip at the
+    driver correctness gate."""
+    import ray.data
+
+    from pisa_ray.index.postings import SegmentView
+
+    idx_dir = get_index_dir(sf_dir)
+    lex = q_lexicon(sf_dir)
+    terms = lex["term"].to_pylist()
+    import ray
+
+    terms_ref = ray.put(terms)
+
+    import json
+    with open(os.path.join(idx_dir, "config.json")) as f:
+        cfg = json.load(f)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        term_names = _catalog_cached_get(terms_ref)
+        out_t, out_d, out_f = [], [], []
+        for i in range(batch.num_rows):
+            row = {name: batch[name][i].as_py() for name in batch.column_names}
+            view = SegmentView(row, block_size=cfg["block_size"],
+                               codec=cfg["codec"])
+            docs = view.decode_docs()
+            freqs = view.decode_freqs()
+            out_t.extend([term_names[int(row["term_id"])]] * len(docs))
+            out_d.extend(docs.tolist())
+            out_f.extend(freqs.tolist())
+        return pa.table({
+            "term": pa.array(out_t, type=pa.string()),
+            "doc_id": pa.array(out_d, type=pa.int64()),
+            "tf": pa.array(out_f, type=pa.int64()),
+        })
+
+    idx = ray.data.read_parquet(os.path.join(idx_dir, "index"))
+    return idx.map_batches(decode, batch_format="pyarrow")
+
+
+_CATALOG_CACHE: Dict = {}
+
+
+def _catalog_cached_get(ref):
+    import ray
+
+    val = _CATALOG_CACHE.get(ref)
+    if val is None:
+        val = ray.get(ref)
+        _CATALOG_CACHE[ref] = val
+    return val
+
+
+SQL_POSTINGS = f"""WITH {_TOKS_CTE}
+SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+FROM toks GROUP BY term, doc_id"""
+
+
+def q_collection_stats(sf_dir: str):
+    import json
+
+    idx_dir = get_index_dir(sf_dir)
+    with open(os.path.join(idx_dir, "stats.json")) as f:
+        s = json.load(f)
+    return pa.table({
+        "num_docs": pa.array([s["num_docs"]], type=pa.int64()),
+        "collection_len": pa.array([s["collection_len"]], type=pa.int64()),
+        "avg_len": pa.array(
+            _round_match([s["avg_len"]], 6), type=pa.float64()),
+    })
+
+
+SQL_COLLECTION_STATS = f"""WITH {_TOKS_CTE}
+SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS num_docs,
+       CAST(count(*) AS BIGINT) AS collection_len,
+       round(count(*) / CAST((SELECT count(*) FROM documents) AS DOUBLE), 6)
+           AS avg_len
+FROM toks"""
+
+
+def _ranked_results(sf_dir: str) -> pd.DataFrame:
+    """Engine-side ranked lists on ROUNDED scores (see module docstring)."""
+    eng = _engine(sf_dir)
+    frames = []
+    for qid, terms in QUERY_SET:
+        res = eng.run(" ".join(terms), k=10 ** 9, algorithm="ranked_or_taat")
+        if not res:
+            continue
+        scores = _round_match([s for s, _ in res], 4)
+        docs = np.array([d for _, d in res], dtype=np.int64)
+        order = np.lexsort((docs, -scores))
+        frames.append(pd.DataFrame({
+            "qid": qid,
+            "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+            "doc_id": docs[order],
+            "score": scores[order],
+        }))
+    return pd.concat(frames, ignore_index=True)
+
+
+def q_bm25_topk(sf_dir: str) -> pd.DataFrame:
+    df = _ranked_results(sf_dir)
+    return df[df["rank"] <= TOPK].reset_index(drop=True)
+
+
+SQL_BM25_TOPK = _RANKED_CTE + f"""
+SELECT qid, CAST(rnk AS BIGINT) AS rank, CAST(doc_id AS BIGINT) AS doc_id,
+       score_r AS score
+FROM ranked WHERE rnk <= {TOPK}"""
+
+
+def q_thresholds(sf_dir: str) -> pd.DataFrame:
+    df = _ranked_results(sf_dir)
+    out = []
+    for qid, _terms in QUERY_SET:
+        sub = df[(df["qid"] == qid) & (df["rank"] == TOPK)]
+        out.append({"qid": qid,
+                    "threshold": float(sub["score"].iloc[0]) if len(sub) else 0.0})
+    return pd.DataFrame(out)
+
+
+SQL_THRESHOLDS = _RANKED_CTE + f""",
+qids AS (SELECT DISTINCT qid FROM q)
+SELECT qids.qid, COALESCE(r.score_r, 0.0) AS threshold
+FROM qids LEFT JOIN (SELECT qid, score_r FROM ranked WHERE rnk = {TOPK}) r
+USING (qid)"""
+
+
+def q_bool_counts(sf_dir: str) -> pd.DataFrame:
+    eng = _engine(sf_dir)
+    rows = []
+    for qid, terms in QUERY_SET:
+        text = " ".join(terms)
+        rows.append({"qid": qid,
+                     "n_and": eng.bool_count(text, "and"),
+                     "n_or": eng.bool_count(text, "or")})
+    return pd.DataFrame(rows)
+
+
+SQL_BOOL_COUNTS = f"""WITH {_TOKS_CTE},
+{_values_queries()},
+vocab AS (SELECT DISTINCT term FROM toks),
+known AS (SELECT DISTINCT q.qid, q.term FROM q JOIN vocab USING (term)),
+nk AS (SELECT qid, count(*) AS k FROM known GROUP BY qid),
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+hits AS (
+    SELECT k.qid, d.doc_id, count(*) AS c
+    FROM known k JOIN dt d USING (term)
+    GROUP BY k.qid, d.doc_id
+),
+ands AS (
+    SELECT h.qid, count(*) AS n_and
+    FROM hits h JOIN nk USING (qid) WHERE h.c = nk.k GROUP BY h.qid
+),
+ors AS (SELECT qid, count(*) AS n_or FROM hits GROUP BY qid),
+qids AS (SELECT DISTINCT qid FROM q)
+SELECT qids.qid,
+       CAST(COALESCE(a.n_and, 0) AS BIGINT) AS n_and,
+       CAST(COALESCE(o.n_or, 0) AS BIGINT) AS n_or
+FROM qids LEFT JOIN ands a USING (qid) LEFT JOIN ors o USING (qid)"""
+
+
+def _posting_weights(sf_dir: str) -> pd.DataFrame:
+    """Per-posting float64 BM25 weights from the decoded index."""
+    from pisa_ray.index.reader import InvertedIndex
+    from pisa_ray.query.scorers import BM25
+
+    idx = InvertedIndex(get_index_dir(sf_dir))
+    scorer = BM25(dtype=np.float64)
+    rows = []
+    for tid in range(idx.num_terms):
+        pl = idx.posting_list(tid)
+        if pl is None:
+            continue
+        docs, freqs = pl.decode()
+        ts = scorer.term_scorer(idx.term_df(tid), idx.term_occ(tid), idx.stats)
+        w = ts(freqs, idx.doc_lens[docs.astype(np.int64)])
+        rows.append(pd.DataFrame({
+            "term": idx.terms[tid].as_py(),
+            "doc_id": docs.astype(np.int64),
+            "weight": w,
+        }))
+    return pd.concat(rows, ignore_index=True)
+
+
+def q_term_max_scores(sf_dir: str) -> pd.DataFrame:
+    w = _posting_weights(sf_dir)
+    out = w.groupby("term", as_index=False)["weight"].max()
+    out["max_score"] = _round_match(out.pop("weight").to_numpy(), 4)
+    return out[["term", "max_score"]]
+
+
+SQL_TERM_MAX_SCORES = f"""WITH {_TF_CTES}
+SELECT tf.term, round(max({_BM25_WEIGHT_SQL}), 4) AS max_score
+FROM tf JOIN df ON tf.term = df.term
+JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+GROUP BY tf.term"""
+
+
+def q_taily_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-term score expectation/variance for shard selection (the Taily
+    statistics of the reference, include/pisa/taily_stats.hpp:24-171)."""
+    w = _posting_weights(sf_dir)
+    g = w.groupby("term")["weight"]
+    out = pd.DataFrame({
+        "term": g.mean().index,
+        "df": g.count().to_numpy().astype(np.int64),
+        "expected_score": _round_match(g.mean().to_numpy(), 4),
+        "score_variance": _round_match(g.var(ddof=0).to_numpy(), 4),
+    })
+    return out.reset_index(drop=True)
+
+
+SQL_TAILY_STATS = f"""WITH {_TF_CTES},
+w AS (
+    SELECT tf.term, {_BM25_WEIGHT_SQL} AS weight
+    FROM tf JOIN df ON tf.term = df.term
+    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       round(avg(weight), 4) AS expected_score,
+       round(var_pop(weight), 4) AS score_variance
+FROM w GROUP BY term"""
+
+
+def q_posting_sample(sf_dir: str):
+    """Deterministic hash-based posting sampling at rate 0.5 (the
+    sample_inverted_index capability, tools/sample_inverted_index.cpp)."""
+    ds = q_postings(sf_dir)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = (doc * np.uint64(2654435761)) % np.uint64(4294967296) \
+            < np.uint64(2147483648)
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
+SQL_POSTING_SAMPLE = f"""WITH {_TOKS_CTE},
+p AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY term, doc_id)
+SELECT term, doc_id, tf FROM p
+WHERE (doc_id * 2654435761) % 4294967296 < 2147483648"""
+
+
+def q_quantized_postings(sf_dir: str) -> pd.DataFrame:
+    """Linear 8-bit quantization of posting scores
+    (include/pisa/linear_quantizer.hpp:8-26, float64 variant)."""
+    w = _posting_weights(sf_dir)
+    mx = w["weight"].max()
+    w["q"] = np.ceil(w["weight"].to_numpy() * 256.0 / mx).astype(np.int64)
+    return w[["term", "doc_id", "q"]]
+
+
+SQL_QUANTIZED_POSTINGS = f"""WITH {_TF_CTES},
+w AS (
+    SELECT tf.term, tf.doc_id, {_BM25_WEIGHT_SQL} AS weight
+    FROM tf JOIN df ON tf.term = df.term
+    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+)
+SELECT term, doc_id,
+       CAST(ceil(weight * 256.0 / (SELECT max(weight) FROM w)) AS BIGINT) AS q
+FROM w"""
+
+
+# ---------------------------------------------------------------------------
+# dedup / text-analysis entries
+
+def q_dedup_exact(sf_dir: str):
+    from pisa_ray.ops.dedup import exact_dedup
+
+    return exact_dedup(_docs_ds(sf_dir))
+
+
+SQL_DEDUP_EXACT = """
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY md5(lower(text))"""
+
+
+def q_ngram_pairs(sf_dir: str):
+    from pisa_ray.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs_ds(sf_dir), n=3, threshold=0.1)
+
+
+SQL_NGRAM_PAIRS = """
+WITH l AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(toks) < 3
+                      THEN [array_to_string(toks, ' ')]
+                      ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                            for i in generate_series(1, len(toks) - 2)]
+                      END) AS sh
+        FROM l
+    ) WHERE sh <> ''
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       round(inter / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.1"""
+
+
+def q_minhash_pairs(sf_dir: str):
+    from pisa_ray.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs_ds(sf_dir), num_perm=64, bands=16,
+                             verify_threshold=0.2)
+
+
+def q_simhash_pairs(sf_dir: str):
+    from pisa_ray.ops.dedup import simhash_pairs
+
+    return simhash_pairs(_docs_ds(sf_dir), max_hamming=6)
+
+
+def q_lang_id(sf_dir: str):
+    from pisa_ray.ops.textstats import lang_id
+
+    return lang_id(_docs_ds(sf_dir))
+
+
+_STOPLIST_SQL = "('the','a','of','and','to','in','is','it','on','for')"
+
+SQL_LANG_ID = f"""
+WITH t AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+    FROM documents
+),
+r AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE round(len([x for x in toks if x IN {_STOPLIST_SQL}])
+                           / CAST(len(toks) AS DOUBLE), 6) END AS stop_ratio
+    FROM t
+)
+SELECT doc_id, stop_ratio,
+       CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'unk' END AS pred_lang
+FROM r"""
+
+
+def q_quality(sf_dir: str):
+    from pisa_ray.ops.textstats import quality_scores
+
+    return quality_scores(_docs_ds(sf_dir))
+
+
+SQL_QUALITY = f"""
+WITH t AS (
+    SELECT doc_id, text, lower(text) AS low,
+           regexp_extract_all(lower(text), '\\S+') AS toks
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE round(list_sum([CAST(length(x) AS DOUBLE) for x in toks])
+                       / len(toks), 6) END AS mean_token_len,
+       CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE round(len([x for x in toks if x IN {_STOPLIST_SQL}])
+                       / CAST(len(toks) AS DOUBLE), 6) END AS stopword_ratio,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE round(length(regexp_replace(low, '[^a-z0-9]', '', 'g'))
+                       / CAST(length(text) AS DOUBLE), 6) END AS alnum_ratio
+FROM t"""
+
+
+def q_token_counts(sf_dir: str):
+    from pisa_ray.ops.textstats import token_counts
+
+    return token_counts(_docs_ds(sf_dir))
+
+
+SQL_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '\\S+')) AS BIGINT)
+           AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text),
+            '{ENGLISH_TOKEN_SQL_RE.replace("a-zA-Z", "a-z")}')) AS BIGINT)
+           AS en_tokens
+FROM documents"""
+
+
+def q_fingerprints(sf_dir: str):
+    from pisa_ray.ops.textstats import fingerprints
+
+    return fingerprints(_docs_ds(sf_dir)).map_batches(
+        lambda t: t.select(["doc_id", "fp_md5"]), batch_format="pyarrow")
+
+
+SQL_FINGERPRINTS = """
+SELECT doc_id, md5(lower(text)) AS fp_md5 FROM documents"""
+
+
+def q_multimodal_meta(sf_dir: str):
+    """Binary-column plumbing: text → binary payload → metadata stage."""
+    from pisa_ray.ops.multimodal import binary_metadata
+
+    ds = _docs_ds(sf_dir).map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "payload": pc.cast(t["text"], pa.binary()),
+        }),
+        batch_format="pyarrow")
+    return binary_metadata(ds).map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_bytes": t["n_bytes"],
+            "digest": t["digest"],
+        }),
+        batch_format="pyarrow")
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest
+FROM documents"""
+
+
+# ---------------------------------------------------------------------------
+# embeddings entries
+
+def _query_vectors(sf_dir: str, n: int = 5):
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    df = tbl.to_pandas()
+    df = df[df["vec_id"] < n].sort_values("vec_id")
+    return np.array(df["embedding"].tolist(), dtype=np.float64), \
+        df["vec_id"].tolist()
+
+
+def q_ann_topk(sf_dir: str):
+    import ray.data
+
+    from pisa_ray.ops.similarity import ann_topk
+
+    qm, qids = _query_vectors(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    return ann_topk(ds, qm, qids, k=TOPK)
+
+
+SQL_ANN_TOPK = f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+sims AS (
+    SELECT q.qid, e.vec_id,
+           list_sum([q.qv[i] * e.v[i]
+                     for i in generate_series(1, len(q.qv))])
+           / (sqrt(list_sum([x * x for x in q.qv]))
+              * sqrt(list_sum([x * x for x in e.v]))) AS sim
+    FROM q CROSS JOIN e
+),
+ranked AS (
+    SELECT qid, vec_id, round(sim, 6) AS sim_r,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY round(sim, 6) DESC, vec_id) AS rnk
+    FROM sims
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS rank,
+       CAST(vec_id AS BIGINT) AS vec_id, sim_r AS sim
+FROM ranked WHERE rnk <= {TOPK}"""
+
+
+def q_embed_dup_pairs(sf_dir: str):
+    import ray.data
+
+    from pisa_ray.ops.similarity import cosine_dup_pairs
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    return cosine_dup_pairs(ds, threshold=0.35)
+
+
+SQL_EMBED_DUP_PAIRS = """
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e),
+sims AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))])
+           / (a.nrm * b.nrm) AS sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b,
+       round(sim, 6) AS sim
+FROM sims WHERE sim >= 0.35"""
+
+
+def q_lsh_ann(sf_dir: str):
+    import ray.data
+
+    from pisa_ray.ops.similarity import lsh_ann_topk
+
+    qm, qids = _query_vectors(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    return lsh_ann_topk(ds, qm, qids, k=TOPK)
+
+
+# ---------------------------------------------------------------------------
+# events entry
+
+def q_events_hourly(sf_dir: str):
+    import ray.data
+
+    from pisa_ray.ops.windows import tumbling_window
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "event_type", "value"])
+    return tumbling_window(ds, window="1h")
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS sum_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+QUERIES: Dict[str, Callable] = {
+    "lexicon": q_lexicon,
+    "doc_sizes": q_doc_sizes,
+    "postings": q_postings,
+    "collection_stats": q_collection_stats,
+    "bm25_topk": q_bm25_topk,
+    "thresholds": q_thresholds,
+    "bool_counts": q_bool_counts,
+    "term_max_scores": q_term_max_scores,
+    "taily_stats": q_taily_stats,
+    "posting_sample": q_posting_sample,
+    "quantized_postings": q_quantized_postings,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard_pairs": q_ngram_pairs,
+    "minhash_lsh_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality,
+    "token_counts": q_token_counts,
+    "doc_fingerprints": q_fingerprints,
+    "multimodal_meta": q_multimodal_meta,
+    "ann_topk": q_ann_topk,
+    "embed_dup_pairs": q_embed_dup_pairs,
+    "lsh_ann_topk": q_lsh_ann,
+    "events_hourly_window": q_events_hourly,
+}
+
+ORACLE_SQL: Dict[str, str] = {
+    "lexicon": SQL_LEXICON,
+    "doc_sizes": SQL_DOC_SIZES,
+    "postings": SQL_POSTINGS,
+    "collection_stats": SQL_COLLECTION_STATS,
+    "bm25_topk": SQL_BM25_TOPK,
+    "thresholds": SQL_THRESHOLDS,
+    "bool_counts": SQL_BOOL_COUNTS,
+    "term_max_scores": SQL_TERM_MAX_SCORES,
+    "taily_stats": SQL_TAILY_STATS,
+    "posting_sample": SQL_POSTING_SAMPLE,
+    "quantized_postings": SQL_QUANTIZED_POSTINGS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "ngram_jaccard_pairs": SQL_NGRAM_PAIRS,
+    "lang_id": SQL_LANG_ID,
+    "quality_scores": SQL_QUALITY,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "doc_fingerprints": SQL_FINGERPRINTS,
+    "multimodal_meta": SQL_MULTIMODAL_META,
+    "ann_topk": SQL_ANN_TOPK,
+    "embed_dup_pairs": SQL_EMBED_DUP_PAIRS,
+    "events_hourly_window": SQL_EVENTS_HOURLY,
+    # minhash_lsh_pairs / simhash_pairs / lsh_ann_topk: approximate,
+    # not SQL-expressible → rows-only checks
+}

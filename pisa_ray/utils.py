@@ -57,3 +57,11 @@ def sorted_with_rank(
         )
         return ray.data.from_arrow(empty)
     return ray.data.from_arrow_refs(new_refs)
+
+
+def round_half_away(arr, ndigits: int):
+    """Round half away from zero — matches SQL ROUND (numpy's np.round is
+    banker's rounding and disagrees on exact .5 cases like 105/128)."""
+    s = 10.0 ** ndigits
+    a = np.asarray(arr, dtype=np.float64)
+    return np.sign(a) * np.floor(np.abs(a) * s + 0.5) / s

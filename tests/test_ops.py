@@ -1,0 +1,226 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(texts, ids=None):
+    import ray.data
+
+    ids = ids if ids is not None else list(range(len(texts)))
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    }))
+
+
+@pytest.fixture(scope="module")
+def near_dup_corpus(ray_session):
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep dark forest tonight")
+    texts = [
+        base,                                      # 0
+        base,                                      # 1: exact dup of 0
+        base.replace("tonight", "today"),          # 2: near dup of 0
+        "completely different words here about spark and ray data engines",
+        "another unrelated document speaking of parquet files and arrow",
+        base.upper(),                              # 5: case-dup of 0
+    ]
+    return texts
+
+
+def test_exact_dedup(near_dup_corpus, ray_session):
+    from pisa_ray.ops.dedup import exact_dedup
+
+    res = exact_dedup(_docs_ds(near_dup_corpus)).to_pandas()
+    # 0,1,5 collapse (lowercased); keeper = min id = 0 with 3 dups
+    grp = res.set_index("doc_id")["n_dups"].to_dict()
+    assert grp[0] == 3
+    assert grp[2] == 1 and grp[3] == 1 and grp[4] == 1
+    assert len(res) == 4
+
+
+def test_ngram_jaccard_pairs(near_dup_corpus, ray_session):
+    from pisa_ray.ops.dedup import ngram_jaccard_pairs, _word_shingles
+
+    res = ngram_jaccard_pairs(
+        _docs_ds(near_dup_corpus), threshold=0.5).to_pandas()
+    pairs = {(a, b): j for a, b, j in
+             zip(res["doc_a"], res["doc_b"], res["jaccard"])}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 < pairs[(0, 2)] < 1.0
+    # brute-force check of the (0, 2) value
+    s0 = set(_word_shingles(near_dup_corpus[0].lower()))
+    s2 = set(_word_shingles(near_dup_corpus[2].lower()))
+    want = len(s0 & s2) / len(s0 | s2)
+    assert pairs[(0, 2)] == pytest.approx(want, abs=1e-6)
+    assert not any((3 in p or 4 in p) for p in pairs)
+
+
+def test_minhash_lsh_pairs(near_dup_corpus, ray_session):
+    from pisa_ray.ops.dedup import minhash_lsh_pairs
+
+    res = minhash_lsh_pairs(_docs_ds(near_dup_corpus),
+                            verify_threshold=0.5).to_pandas()
+    pairs = set(zip(res["doc_a"], res["doc_b"]))
+    assert (0, 1) in pairs  # exact dup always collides
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup found
+    assert (3, 4) not in pairs
+
+
+def test_simhash_pairs(near_dup_corpus, ray_session):
+    from pisa_ray.ops.dedup import simhash_pairs
+
+    res = simhash_pairs(_docs_ds(near_dup_corpus), max_hamming=10).to_pandas()
+    pairs = set(zip(res["doc_a"], res["doc_b"]))
+    assert (0, 1) in pairs
+    assert (0, 5) in pairs  # case-normalized identical
+    assert (3, 4) not in pairs
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((20, 16))
+    base[1] = base[0] + 0.01 * rng.standard_normal(16)  # near dup of 0
+    return ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(20), type=pa.int64()),
+        "embedding": pa.array([r.astype(np.float32).tolist() for r in base],
+                              type=pa.list_(pa.float32())),
+    })), base
+
+
+def test_ann_topk_matches_bruteforce(emb_ds, ray_session):
+    from pisa_ray.ops.similarity import ann_topk
+
+    ds, base = emb_ds
+    qm = base[:2].astype(np.float32).astype(np.float64)
+    res = ann_topk(ds, qm, [0, 1], k=5).to_pandas()
+    bn = base.astype(np.float32).astype(np.float64)
+    bn = bn / np.linalg.norm(bn, axis=1, keepdims=True)
+    for qi in (0, 1):
+        sims = bn @ bn[qi]
+        order = np.lexsort((np.arange(20), -np.round(sims, 6)))[:5]
+        got = res[res["qid"] == qi].sort_values("rank")["vec_id"].tolist()
+        assert got == list(order)
+
+
+def test_cosine_dup_pairs(emb_ds, ray_session):
+    from pisa_ray.ops.similarity import cosine_dup_pairs
+
+    ds, _ = emb_ds
+    res = cosine_dup_pairs(ds, threshold=0.99).to_pandas()
+    assert set(zip(res["vec_a"], res["vec_b"])) == {(0, 1)}
+
+
+def test_lsh_ann_finds_self(emb_ds, ray_session):
+    from pisa_ray.ops.similarity import lsh_ann_topk
+
+    ds, base = emb_ds
+    res = lsh_ann_topk(ds, base[:3], [0, 1, 2], k=3).to_pandas()
+    for qi in (0, 1, 2):
+        sub = res[res["qid"] == qi].sort_values("rank")
+        assert sub.iloc[0]["vec_id"] == qi  # own vector = top hit
+
+
+def test_textstats(ray_session):
+    from pisa_ray.ops.textstats import (lang_id, quality_scores,
+                                        token_counts, fingerprints)
+
+    texts = ["The cat is on the mat", "xyz abc", ""]
+    lid = lang_id(_docs_ds(texts)).to_pandas().set_index("doc_id")
+    assert lid.loc[0, "pred_lang"] == "en"
+    assert lid.loc[1, "pred_lang"] == "unk"
+    # "the", "is", "on", "the" → 4 of 6 tokens
+    assert lid.loc[0, "stop_ratio"] == pytest.approx(4 / 6, abs=1e-6)
+
+    q = quality_scores(_docs_ds(texts)).to_pandas().set_index("doc_id")
+    assert q.loc[0, "n_tokens"] == 6
+    assert q.loc[2, "n_tokens"] == 0 and q.loc[2, "alnum_ratio"] == 0.0
+
+    tc = token_counts(_docs_ds(["a-b c", "x y z"])).to_pandas()
+    assert tc["ws_tokens"].tolist() == [2, 3]
+    assert tc["en_tokens"].tolist() == [3, 3]
+
+    fp = fingerprints(_docs_ds(["Same", "same", "other"])).to_pandas()
+    assert fp.loc[0, "fp_md5"] == fp.loc[1, "fp_md5"] != fp.loc[2, "fp_md5"]
+    assert fp.loc[0, "fp_roll"] == fp.loc[1, "fp_roll"]
+
+
+def test_multimodal_stubs(ray_session):
+    import ray.data
+
+    from pisa_ray.ops.multimodal import (binary_metadata, decode_images,
+                                         embed_binary, ImageDecodeStub)
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "payload": pa.array([b"\x89PNGfake", b""], type=pa.binary()),
+    }))
+    meta = binary_metadata(ds).to_pandas()
+    assert meta["n_bytes"].tolist() == [8, 0]
+    dec = decode_images(ds, concurrency=1).to_pandas()
+    assert set(dec.columns) == {"doc_id", "width", "height", "thumb"}
+    assert all(16 <= w < 272 for w in dec["width"])
+    # determinism: same payload → same fake decode
+    dec2 = decode_images(ds, concurrency=1).to_pandas()
+    pd.testing.assert_frame_equal(
+        dec.sort_values("doc_id").reset_index(drop=True),
+        dec2.sort_values("doc_id").reset_index(drop=True))
+    emb = embed_binary(ds, dim=8, concurrency=1).to_pandas()
+    assert all(len(e) == 8 for e in emb["embedding"])
+    with pytest.raises(NotImplementedError):
+        ImageDecodeStub(mode="real")(pa.table({
+            "doc_id": pa.array([1], type=pa.int64()),
+            "payload": pa.array([b"x"], type=pa.binary())}))
+
+
+def test_tumbling_window(ray_session):
+    import datetime as dt
+
+    import ray.data
+
+    from pisa_ray.ops.windows import tumbling_window
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(100):
+        rows.append({"ts": base + dt.timedelta(minutes=7 * i),
+                     "event_type": "a" if i % 3 else "b",
+                     "value": float(i)})
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_pandas(df)
+    got = tumbling_window(ds).to_pandas()
+    want = (df.assign(window_start=df["ts"].dt.floor("h"))
+            .groupby(["event_type", "window_start"])
+            .agg(n=("value", "count"), sum_value=("value", "sum"))
+            .reset_index())
+    merged = got.merge(want, on=["event_type", "window_start"],
+                       suffixes=("", "_w"))
+    assert len(merged) == len(want) == len(got)
+    assert (merged["n"] == merged["n_w"]).all()
+    assert np.allclose(merged["sum_value"], merged["sum_value_w"])
+
+
+def test_session_windows(ray_session):
+    import datetime as dt
+
+    import ray.data
+
+    from pisa_ray.ops.windows import session_windows
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        {"user_id": 1, "ts": base},
+        {"user_id": 1, "ts": base + dt.timedelta(minutes=5)},
+        {"user_id": 1, "ts": base + dt.timedelta(hours=2)},  # new session
+        {"user_id": 2, "ts": base},
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    got = session_windows(ds).to_pandas()
+    u1 = got[got["user_id"] == 1]
+    assert len(u1) == 2
+    assert sorted(u1["n_events"]) == [1, 2]
+    assert len(got[got["user_id"] == 2]) == 1
