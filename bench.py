@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Benchmark: headline pipelines over $GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...}
+
+Pipelines timed:
+  * index_build — synthetic Common-Crawl-style pages (html binary column;
+    url-rank docids; full analyze → lexicon → sort shuffle → compressed
+    segments + WAND) — the engine's headline docs/sec metric.
+  * query_topk  — fixed BM25 query set served repeatedly through the
+    actor-pool executor (block_max_wand), reported with per-query latency.
+  * minhash_dedup — MinHash-LSH near-dup pairs over the sf documents table.
+  * ann_topk    — brute-force cosine top-k over the sf embeddings table.
+
+``--scaling``: runs the same bench in TWO fresh processes at
+RAY_GRAFT_CPUS=8 and =32 on the same input and reports both throughputs
+plus scaling efficiency ((t8/t32)/(32/8)) — the sandbox stand-in for the
+north rule's N-vs-4N-node criterion (see BASELINE.md).
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# Sized so the build is compute-dominated (tokenize + sort shuffle), not
+# fixed job-launch overhead — the scaling measurement needs parallel work
+# to dominate or Amdahl caps the efficiency.
+N_PAGES = int(os.environ.get("PISA_RAY_BENCH_PAGES", "100000"))
+QUERY_REPEAT = int(os.environ.get("PISA_RAY_BENCH_QUERY_REPEAT", "20"))
+
+PAGES_CACHE = f"/tmp/pisa_ray_bench_pages_{N_PAGES}"
+INDEX_DIR_TMPL = "/tmp/pisa_ray_bench_index_{cpus}"
+
+
+def ensure_pages() -> str:
+    from pisa_ray.io.pages import write_pages
+
+    marker = os.path.join(PAGES_CACHE, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(PAGES_CACHE, ignore_errors=True)
+        # enough input files that every stage (analyze, sort, encode) can
+        # run ≥2 tasks per CPU at 32 CPUs — parallelism is capped by the
+        # input block count otherwise
+        write_pages(PAGES_CACHE, N_PAGES, rows_per_file=max(1000, N_PAGES // 64))
+        open(marker, "w").write("ok")
+    return PAGES_CACHE
+
+
+def run_bench() -> dict:
+    import ray
+    import ray.data
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from pisa_ray.index.build import IndexConfig, build_index
+    from pisa_ray.query.engine import run_queries
+    from pisa_ray.catalog import QUERY_SET
+    from pisa_ray.ops.dedup import minhash_lsh_pairs
+    from pisa_ray.ops.similarity import ann_topk
+
+    timings = {}
+    extras = {}
+
+    # ---- index build over synthetic pages --------------------------------
+    pages_dir = ensure_pages()
+    # warm the OS page cache (untimed)
+    ray.data.read_parquet(pages_dir).count()
+    out_dir = INDEX_DIR_TMPL.format(cpus=NUM_CPUS)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    corpus = ray.data.read_parquet(pages_dir, columns=["url", "html"])
+    build_index(corpus, out_dir, config=IndexConfig(num_shards=8),
+                id_col=None, url_col="url", html_col="html", resume=False)
+    timings["index_build"] = round(time.time() - t0, 3)
+    extras["index_docs_per_sec"] = round(N_PAGES / timings["index_build"], 1)
+    extras["n_pages"] = N_PAGES
+
+    # ---- query serving ----------------------------------------------------
+    qlist = [(f"{qid}_{r}", " ".join(ts).replace("join", "w0001")
+              .replace("hash", "w0002"))
+             for r in range(QUERY_REPEAT) for qid, ts in QUERY_SET]
+    # queries over the bench vocab: translate catalog terms to wNNNN vocab
+    vocab_queries = []
+    for i, (qid, _t) in enumerate(qlist):
+        ws = [f"w{(7 * i + j * 131) % 5000:04d}" for j in range(1 + i % 4)]
+        if i % 3 == 0:
+            ws.append("thecommon")  # hot term
+        vocab_queries.append((qid, " ".join(ws)))
+    t0 = time.time()
+    res = run_queries(vocab_queries, out_dir, k=10,
+                      algorithm="block_max_wand",
+                      concurrency=min(16, max(2, NUM_CPUS - 2)),
+                      batch_size=8)
+    n_results = res.count()
+    timings["query_topk"] = round(time.time() - t0, 3)
+    extras["n_queries"] = len(vocab_queries)
+    extras["query_qps"] = round(len(vocab_queries) / timings["query_topk"], 1)
+    extras["query_mean_ms"] = round(
+        1000 * timings["query_topk"] / len(vocab_queries), 2)
+    extras["n_results"] = int(n_results)
+
+    # ---- minhash dedup over sf documents ----------------------------------
+    t0 = time.time()
+    docs = ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                                 columns=["doc_id", "text"])
+    n_pairs = minhash_lsh_pairs(docs, verify_threshold=0.3).count()
+    timings["minhash_dedup"] = round(time.time() - t0, 3)
+    extras["minhash_pairs"] = int(n_pairs)
+
+    # ---- ann over sf embeddings -------------------------------------------
+    t0 = time.time()
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+    df = emb.to_pandas()
+    qdf = df[df["vec_id"] < 16]
+    qm = np.array(qdf["embedding"].tolist(), dtype=np.float64)
+    ds = ray.data.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    ann_topk(ds, qm, qdf["vec_id"].tolist(), k=10).count()
+    timings["ann_topk"] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "pisa_ray headline pipelines (index build + BM25 top-k + "
+                  "dedup + ann)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        **extras,
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(
+                                 os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo = r_lo["queries"]["index_build"]
+    t_hi = r_hi["queries"]["index_build"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "indexing scaling efficiency (8 vs 32 CPUs, fresh "
+                  "processes, same input)",
+        "num_cpus_lo": lo, "num_cpus_hi": hi,
+        "index_build_sec_lo": t_lo, "index_build_sec_hi": t_hi,
+        "docs_per_sec_lo": r_lo["index_docs_per_sec"],
+        "docs_per_sec_hi": r_hi["index_docs_per_sec"],
+        "total_sec_lo": r_lo["value"], "total_sec_hi": r_hi["value"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

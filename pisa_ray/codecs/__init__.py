@@ -22,6 +22,7 @@ import numpy as np
 
 from pisa_ray.codecs.bitpack import bitpack_encode, bitpack_decode
 from pisa_ray.codecs.varbyte import varbyte_encode, varbyte_decode
+from pisa_ray.codecs.ef import ef_encode, ef_decode
 
 Encoder = Callable[[np.ndarray], bytes]
 Decoder = Callable[[bytes, int], np.ndarray]
@@ -29,7 +30,13 @@ Decoder = Callable[[bytes, int], np.ndarray]
 CODECS: Dict[str, Tuple[Encoder, Decoder]] = {
     "bitpack": (bitpack_encode, bitpack_decode),
     "varbyte": (varbyte_encode, varbyte_decode),
+    "ef": (ef_encode, ef_decode),
 }
+
+# Monotone codecs encode the ascending values directly (docids; prefix-sum
+# freqs) instead of gap-1 deltas — the reference's bitvector index family
+# (include/pisa/freq_index.hpp:29-121) vs its block family.
+MONOTONE_CODECS = frozenset({"ef"})
 
 BLOCK_SIZE = 128  # ints per block, reference default (codec/simdbp.hpp:13)
 
@@ -41,5 +48,6 @@ def get_codec(name: str) -> Tuple[Encoder, Decoder]:
         raise ValueError(f"unknown codec {name!r}; have {sorted(CODECS)}") from None
 
 
-__all__ = ["CODECS", "BLOCK_SIZE", "get_codec", "bitpack_encode",
-           "bitpack_decode", "varbyte_encode", "varbyte_decode"]
+__all__ = ["CODECS", "BLOCK_SIZE", "MONOTONE_CODECS", "get_codec",
+           "bitpack_encode", "bitpack_decode", "varbyte_encode",
+           "varbyte_decode", "ef_encode", "ef_decode"]

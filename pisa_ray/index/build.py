@@ -71,6 +71,14 @@ class IndexConfig:
     quantize_bits: int = 0  # 0 = no quantization; 8 = reference default when on
     scorer_params: tuple = ()  # e.g. (("k1", 0.9), ("b", 0.4))
 
+    def __post_init__(self):
+        from pisa_ray.codecs import get_codec
+
+        get_codec(self.codec)  # fail fast on typo'd codec names
+        if self.score_dtype not in ("float32", "float64"):
+            raise ValueError(f"score_dtype must be float32/float64, "
+                             f"got {self.score_dtype!r}")
+
     def analyzer_config(self) -> AnalyzerConfig:
         return AnalyzerConfig(
             tokenizer=self.tokenizer,
@@ -160,6 +168,28 @@ class AnalyzeCountTokens:
             "tf": pa.array(tfs, type=pa.uint32()),
             "doc_len": pa.array(doc_lens[doc_idx], type=pa.uint32()),
         })
+
+
+_ANALYZER_CACHE: Dict = {}
+
+
+def analyze_count_tokens(batch: pa.Table, *, config: AnalyzerConfig,
+                         text_col: str, id_col, url_col, html_col,
+                         url_to_doc_ref=None) -> pa.Table:
+    """Task-function analyzer stage (same semantics as AnalyzeCountTokens).
+
+    Plain tasks beat a dedicated actor pool here: Ray reuses worker
+    processes, so the compiled regex / stemmer cache / broadcast dict live
+    in a per-worker cache without pinning CPUs to a pool (pools sized to
+    the cluster starve the downstream sort on small clusters, and pool
+    spawn cost dominates small jobs)."""
+    key = (config, html_col is not None)
+    worker = _ANALYZER_CACHE.get(key)
+    if worker is None:
+        worker = AnalyzeCountTokens(config, text_col, id_col, url_col,
+                                    html_col, url_to_doc_ref)
+        _ANALYZER_CACHE[key] = worker
+    return worker(batch)
 
 
 # ---------------------------------------------------------------------------
@@ -327,22 +357,47 @@ def build_index(
     os.makedirs(out_dir, exist_ok=True)
 
     # -- docid assignment ---------------------------------------------------
+    # doc_id = global sorted-url rank.  Up to ~5M docs the rank is computed
+    # driver-side in one job (pull the url column, argsort); beyond that the
+    # distributed path (sorted_with_rank + hash-join remap) takes over —
+    # the broadcast url→id dict stops fitting a worker anyway.
     url_to_doc_ref = None
     num_docs = None
     if id_col is None:
         if url_col is None:
             raise ValueError("need id_col or url_col")
         if resume and stage_complete(paths["docmap"], cfg_hash):
-            docmap = ray.data.read_parquet(paths["docmap"])
+            dm = pa.concat_tables(
+                [pq.read_table(os.path.join(paths["docmap"], f))
+                 for f in sorted(os.listdir(paths["docmap"]))
+                 if f.endswith(".parquet")])
         else:
-            docmap = sorted_with_rank(
-                corpus.select_columns([url_col]), url_col, "doc_id", pa.uint64())
-            docmap.write_parquet(_fresh_stage_dir(paths["docmap"]))
-            write_manifest(paths["docmap"], cfg_hash)
-            docmap = ray.data.read_parquet(paths["docmap"])
-        dm = docmap.to_pandas()  # small: (url, doc_id); at 10^12 docs use a join
-        num_docs = len(dm)
-        url_to_doc_ref = ray.put(dict(zip(dm[url_col], dm["doc_id"])))
+            urls = corpus.select_columns([url_col]).to_pandas()
+            if len(urls) > 5_000_000:
+                docmap = sorted_with_rank(
+                    corpus.select_columns([url_col]), url_col, "doc_id",
+                    pa.uint64())
+                docmap.write_parquet(_fresh_stage_dir(paths["docmap"]))
+                write_manifest(paths["docmap"], cfg_hash)
+                dm = pa.concat_tables(
+                    [pq.read_table(os.path.join(paths["docmap"], f))
+                     for f in sorted(os.listdir(paths["docmap"]))
+                     if f.endswith(".parquet")])
+            else:
+                u = urls[url_col].to_numpy()
+                order = np.argsort(u, kind="stable")
+                ranks = np.empty(len(u), dtype=np.uint64)
+                ranks[order] = np.arange(len(u), dtype=np.uint64)
+                dm = pa.table({url_col: pa.array(u, type=pa.string()),
+                               "doc_id": pa.array(ranks, type=pa.uint64())})
+                _fresh_stage_dir(paths["docmap"])
+                os.makedirs(paths["docmap"], exist_ok=True)
+                pq.write_table(dm, os.path.join(paths["docmap"],
+                                                "part-00000.parquet"))
+                write_manifest(paths["docmap"], cfg_hash)
+        num_docs = dm.num_rows
+        url_to_doc_ref = ray.put(dict(zip(dm[url_col].to_pylist(),
+                                          dm["doc_id"].to_numpy())))
     else:
         num_docs = corpus.count()
 
@@ -354,30 +409,29 @@ def build_index(
     # -- stage: fwd (analyze + count) --------------------------------------
     if not (resume and stage_complete(paths["fwd"], cfg_hash)):
         fwd = corpus.map_batches(
-            AnalyzeCountTokens,
-            fn_constructor_args=(config.analyzer_config(), text_col, id_col,
-                                 url_col, html_col, url_to_doc_ref),
+            analyze_count_tokens,
+            fn_kwargs={"config": config.analyzer_config(),
+                       "text_col": text_col, "id_col": id_col,
+                       "url_col": url_col, "html_col": html_col,
+                       "url_to_doc_ref": url_to_doc_ref},
             batch_format="pyarrow",
             batch_size=analyzer_batch_size,
-            concurrency=analyzer_concurrency,
-            num_cpus=1,
         )
         _trace("fwd: writing")
         fwd.write_parquet(_fresh_stage_dir(paths["fwd"]))
         write_manifest(paths["fwd"], cfg_hash)
     _trace("fwd done")
-    fwd = ray.data.read_parquet(paths["fwd"])
 
-    # -- stage: sizes + stats ----------------------------------------------
+    # -- stage: sizes (doc-length table; prune to 2 columns at the read) ----
     if not (resume and stage_complete(paths["sizes"], cfg_hash)):
         def _partial_sizes(t: pa.Table) -> pa.Table:
-            g = pa.TableGroupBy(t.select(["doc_id", "doc_len"]),
-                                "doc_id").aggregate([("doc_len", "max")])
+            g = pa.TableGroupBy(t, "doc_id").aggregate([("doc_len", "max")])
             return pa.table({"doc_id": g.column("doc_id"),
                              "doc_len": g.column("doc_len_max")})
 
         sizes = (
-            fwd.map_batches(_partial_sizes, batch_format="pyarrow")
+            ray.data.read_parquet(paths["fwd"], columns=["doc_id", "doc_len"])
+            .map_batches(_partial_sizes, batch_format="pyarrow")
             .groupby("doc_id").max("doc_len")
             .map_batches(
                 lambda t: pa.table({"doc_id": t.column("doc_id"),
@@ -387,8 +441,40 @@ def build_index(
         _trace("sizes: writing")
         sizes.write_parquet(_fresh_stage_dir(paths["sizes"]))
         write_manifest(paths["sizes"], cfg_hash)
-    sizes = ray.data.read_parquet(paths["sizes"])
-    collection_len = int(sizes.sum("doc_len") or 0)
+
+    _trace("sizes done")
+    # -- stage: lexicon -----------------------------------------------------
+    if not (resume and stage_complete(paths["lexicon"], cfg_hash)):
+        agg = (
+            ray.data.read_parquet(paths["fwd"], columns=["term", "tf"])
+            .map_batches(_partial_term_stats, batch_format="pyarrow")
+            .groupby("term").sum(["df_part", "occ_part"])
+        )
+        # rank assignment: vocab ≪ corpus → driver-side sort+rank in the
+        # same job that drains the aggregate (sorted_with_rank remains the
+        # distributed path for >10^8-term vocabularies)
+        agg_pd = agg.to_pandas()
+        agg_pd = agg_pd.sort_values("term", kind="stable").reset_index(drop=True)
+        lex_out = pa.table({
+            "term": pa.array(agg_pd["term"], type=pa.string()),
+            "df": pa.array(agg_pd["sum(df_part)"], type=pa.int64()),
+            "occ": pa.array(agg_pd["sum(occ_part)"], type=pa.int64()),
+            "term_id": pa.array(np.arange(len(agg_pd), dtype=np.uint32),
+                                type=pa.uint32()),
+        })
+        _fresh_stage_dir(paths["lexicon"])
+        os.makedirs(paths["lexicon"], exist_ok=True)
+        pq.write_table(lex_out, os.path.join(paths["lexicon"],
+                                             "part-00000.parquet"))
+        write_manifest(paths["lexicon"], cfg_hash)
+    lex_table = pa.concat_tables(
+        [pq.read_table(os.path.join(paths["lexicon"], f))
+         for f in sorted(os.listdir(paths["lexicon"])) if f.endswith(".parquet")]
+    ).sort_by("term_id")
+    num_terms = lex_table.num_rows
+
+    # collection stats fall out of the lexicon: Σocc = Σ doc_len
+    collection_len = int(pc.sum(lex_table["occ"]).as_py() or 0)
     stats = CollectionStats(
         num_docs=int(num_docs),
         avg_len=collection_len / num_docs if num_docs else 0.0,
@@ -397,20 +483,8 @@ def build_index(
     with open(os.path.join(out_dir, "stats.json"), "w") as f:
         json.dump(asdict(stats), f)
 
-    _trace("sizes+stats done")
-    # -- stage: lexicon -----------------------------------------------------
-    if not (resume and stage_complete(paths["lexicon"], cfg_hash)):
-        lexicon = build_lexicon(fwd)
-        _trace("lexicon: writing")
-        lexicon.write_parquet(_fresh_stage_dir(paths["lexicon"]))
-        write_manifest(paths["lexicon"], cfg_hash)
-    lex_table = pa.concat_tables(
-        [pq.read_table(os.path.join(paths["lexicon"], f))
-         for f in sorted(os.listdir(paths["lexicon"])) if f.endswith(".parquet")]
-    ).sort_by("term_id")
-    num_terms = lex_table.num_rows
-
-    _trace("lexicon done")
+    _trace("lexicon+stats done")
+    fwd = ray.data.read_parquet(paths["fwd"])
     # -- stage: encode ------------------------------------------------------
     if not (resume and stage_complete(paths["index"], cfg_hash)):
         terms_ref = ray.put(lex_table["term"].combine_chunks())

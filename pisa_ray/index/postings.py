@@ -33,7 +33,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from pisa_ray.codecs import BLOCK_SIZE, get_codec
+from pisa_ray.codecs import BLOCK_SIZE, MONOTONE_CODECS, get_codec
 
 
 def encode_segment(
@@ -47,6 +47,7 @@ def encode_segment(
     """Encode one segment (ascending docids). ``scores`` aligned with
     postings enables WAND metadata; pass None to skip (max fields = 0)."""
     enc, _ = get_codec(codec)
+    monotone = codec in MONOTONE_CODECS
     n = len(doc_ids)
     if n == 0:
         raise ValueError("empty segment")
@@ -56,6 +57,11 @@ def encode_segment(
     gaps = np.empty(n, dtype=np.uint64)
     gaps[0] = doc_ids[0]  # prev = -1 → gap-1 == docid
     np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:])
+    if n > 1 and gaps[1:].min() == 0:
+        raise ValueError(
+            "duplicate doc_id within a posting segment — the corpus has "
+            "duplicate document keys (e.g. repeated urls); dedup upstream"
+        )
     gaps[1:] -= 1
     if gaps.max() > 0xFFFFFFFF:
         raise ValueError(
@@ -71,8 +77,13 @@ def encode_segment(
     freq_endpoints = np.zeros(nblocks + 1, dtype=np.uint32)
     for b in range(nblocks):
         lo, hi = b * block_size, min((b + 1) * block_size, n)
-        doc_chunks.append(enc(gaps32[lo:hi]))
-        freq_chunks.append(enc(tfs_m1[lo:hi]))
+        if monotone:
+            base = doc_ids[lo - 1] + np.uint64(1) if lo else np.uint64(0)
+            doc_chunks.append(enc(doc_ids[lo:hi] - base))
+            freq_chunks.append(enc(np.cumsum(tfs[lo:hi], dtype=np.uint64)))
+        else:
+            doc_chunks.append(enc(gaps32[lo:hi]))
+            freq_chunks.append(enc(tfs_m1[lo:hi]))
         doc_endpoints[b + 1] = doc_endpoints[b] + len(doc_chunks[-1])
         freq_endpoints[b + 1] = freq_endpoints[b] + len(freq_chunks[-1])
 
@@ -108,11 +119,12 @@ class SegmentView:
 
     __slots__ = ("n", "block_size", "doc_payload", "freq_payload",
                  "doc_endpoints", "freq_endpoints", "block_last_docs",
-                 "block_max_scores", "max_score", "_dec")
+                 "block_max_scores", "max_score", "_dec", "_monotone")
 
     def __init__(self, row: Dict[str, object], *, block_size: int = BLOCK_SIZE,
                  codec: str = "bitpack"):
         _, self._dec = get_codec(codec)
+        self._monotone = codec in MONOTONE_CODECS
         self.n = int(row["df"])
         self.block_size = block_size
         self.doc_payload = row["doc_payload"]
@@ -133,15 +145,21 @@ class SegmentView:
     def decode_block_docs(self, b: int) -> np.ndarray:
         """Absolute docids of block ``b`` (u64)."""
         lo, hi = int(self.doc_endpoints[b]), int(self.doc_endpoints[b + 1])
-        gaps = self._dec(self.doc_payload[lo:hi], self.block_len(b)).astype(np.uint64)
+        vals = self._dec(self.doc_payload[lo:hi], self.block_len(b)).astype(np.uint64)
         base = np.uint64(0) if b == 0 else self.block_last_docs[b - 1] + np.uint64(1)
-        gaps[0] += base
-        gaps[1:] += 1
-        return np.cumsum(gaps, dtype=np.uint64)
+        if self._monotone:
+            return vals + base
+        vals[0] += base
+        vals[1:] += 1
+        return np.cumsum(vals, dtype=np.uint64)
 
     def decode_block_freqs(self, b: int) -> np.ndarray:
         lo, hi = int(self.freq_endpoints[b]), int(self.freq_endpoints[b + 1])
-        return self._dec(self.freq_payload[lo:hi], self.block_len(b)) + 1
+        vals = self._dec(self.freq_payload[lo:hi], self.block_len(b))
+        if self._monotone:
+            return np.diff(vals.astype(np.uint64),
+                           prepend=np.uint64(0)).astype(np.uint32)
+        return vals + 1
 
     def decode_docs(self) -> np.ndarray:
         if self.num_blocks == 0:

@@ -28,7 +28,8 @@ def _vocab(n_terms: int = 5000):
 
 
 def generate_pages(n_pages: int, seed: int = 42, n_terms: int = 5000,
-                   mean_len: int = 120) -> pa.Table:
+                   mean_len: int = 120, index_offset: int = 0) -> pa.Table:
+    """``index_offset`` shifts url/ts numbering so multi-part corpora keep globally unique urls."""
     rng = np.random.default_rng(seed)
     vocab = _vocab(n_terms)
     probs = 1.0 / np.arange(1, n_terms + 1) ** 1.1
@@ -89,10 +90,11 @@ def generate_pages(n_pages: int, seed: int = 42, n_terms: int = 5000,
             html = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
                     + html)
 
-        urls.append(f"https://site{i % 97}.example/p/{i:08d}")
+        g = i + index_offset
+        urls.append(f"https://site{g % 97}.example/p/{g:08d}")
         htmls.append(html.encode("utf-8"))
         texts.append(text)
-        tss.append(_BASE_TS + _dt.timedelta(seconds=int(i) * 17))
+        tss.append(_BASE_TS + _dt.timedelta(seconds=int(i + index_offset) * 17))
         langcol.append(str(langs[int(rng.integers(0, len(langs)))]))
 
     return pa.table({
@@ -116,7 +118,7 @@ def write_pages(path: str, n_pages: int, seed: int = 42,
     part = 0
     while written < n_pages:
         n = min(rows_per_file, n_pages - written)
-        tbl = generate_pages(n, seed=seed + part, **kw)
+        tbl = generate_pages(n, seed=seed + part, index_offset=written, **kw)
         pq.write_table(tbl, os.path.join(path, f"part-{part:05d}.parquet"))
         written += n
         part += 1

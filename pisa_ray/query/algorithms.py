@@ -235,6 +235,13 @@ def block_max_wand(cursors: List[Cursor], doc_lens: np.ndarray, k: int,
         pivot_doc = ordered[pivot].docid()
         if pivot_doc >= sentinel:
             break
+        # extend the pivot over every cursor already sitting at pivot_doc —
+        # their contributions belong to the candidate, and the block bound
+        # below must include them (dropping this loses real top-k docs when
+        # a low-bound cursor is the first at pivot_doc)
+        while (pivot + 1 < len(ordered)
+               and ordered[pivot + 1].docid() == pivot_doc):
+            pivot += 1
         # block-max refinement: align block pointers to pivot_doc and check
         # the per-block bound
         block_bound = 0.0
@@ -329,3 +336,187 @@ ALGORITHMS = {
     "block_max_wand": block_max_wand,
     "maxscore": maxscore,
 }
+
+
+def block_max_maxscore(cursors: List[Cursor], doc_lens: np.ndarray, k: int,
+                       initial_threshold: float = 0.0) -> TopKQueue:
+    """MaxScore with per-block bounds on the non-essential lists
+    (block_max_maxscore_query.hpp capability): before probing a
+    non-essential list, its contribution is bounded by the current block
+    max; if even that bound cannot reach the threshold, the document is
+    abandoned (the tail bound already includes every later list)."""
+    q = TopKQueue(k, initial_threshold)
+    if not cursors:
+        return q
+    sentinel = cursors[0].end_sentinel
+    cs = sorted(cursors, key=lambda c: c.max_score, reverse=True)
+    m = len(cs)
+    upper = np.zeros(m + 1, dtype=np.float64)
+    for i in range(m - 1, -1, -1):
+        upper[i] = upper[i + 1] + cs[i].max_score
+    first_ne = m
+    cur = min(c.docid() for c in cs)
+    while cur < sentinel:
+        while first_ne > 0 and upper[first_ne - 1] <= q.threshold:
+            first_ne -= 1
+        if first_ne == 0:
+            break
+        essential = cs[:first_ne]
+        score = 0.0
+        nxt = sentinel
+        for c in essential:
+            if c.docid() == cur:
+                score += c.score(doc_lens)
+                c.next()
+            d = c.docid()
+            if d < nxt:
+                nxt = d
+        for i in range(first_ne, m):
+            if not q.would_enter(score + upper[i]):
+                break
+            cs[i].block_max_next_geq(cur)
+            if not q.would_enter(score + cs[i].block_max_score()
+                                 + upper[i + 1]):
+                # even the block-max bound can't lift this doc over the
+                # threshold together with the full tail bound → abandon
+                score = -1.0  # sentinel: skip insert
+                break
+            cs[i].next_geq(cur)
+            if cs[i].docid() == cur:
+                score += cs[i].score(doc_lens)
+        if score >= 0.0:
+            q.insert(score, cur)
+        cur = nxt
+    return q
+
+
+def block_max_ranked_and(cursors: List[Cursor], doc_lens: np.ndarray, k: int,
+                         initial_threshold: float = 0.0) -> TopKQueue:
+    """Conjunction with block-max early exit
+    (block_max_ranked_and_query.hpp capability): a candidate docid is
+    scored only if the sum of the current block maxes beats the
+    threshold."""
+    q = TopKQueue(k, initial_threshold)
+    if not cursors:
+        return q
+    cs = sorted(cursors, key=lambda c: c.pl.df)
+    sentinel = cs[0].end_sentinel
+    candidate = cs[0].docid()
+    while candidate < sentinel:
+        i = 1
+        while i < len(cs):
+            cs[i].next_geq(candidate)
+            if cs[i].docid() != candidate:
+                candidate = cs[i].docid()
+                i = 0
+                if candidate >= sentinel:
+                    break
+                cs[0].next_geq(candidate)
+                if cs[0].docid() != candidate:
+                    candidate = cs[0].docid()
+                    continue
+                i = 1
+            else:
+                i += 1
+        if candidate >= sentinel:
+            break
+        block_bound = 0.0
+        for c in cs:
+            c.block_max_next_geq(candidate)
+            block_bound += c.block_max_score()
+        if q.would_enter(block_bound):
+            score = sum(c.score(doc_lens) for c in cs)
+            q.insert(score, candidate)
+        cs[0].next()
+        candidate = cs[0].docid()
+    return q
+
+
+class _RangeBoundCursor:
+    """View of a cursor clipped to docids < ``bound`` (for range queries /
+    doc-sharded serving).  The underlying cursor persists across ranges —
+    ranges must be visited in ascending order."""
+
+    __slots__ = ("c", "bound")
+
+    def __init__(self, c: Cursor, bound: int):
+        self.c = c
+        self.bound = bound
+
+    @property
+    def pl(self):
+        return self.c.pl
+
+    @property
+    def max_score(self):
+        return self.c.max_score
+
+    @property
+    def end_sentinel(self):
+        return self.bound
+
+    @property
+    def q_weight(self):
+        return self.c.q_weight
+
+    @property
+    def scorer(self):
+        return self.c.scorer
+
+    def docid(self):
+        d = self.c.docid()
+        return d if d < self.bound else self.bound
+
+    def freq(self):
+        return self.c.freq()
+
+    def score(self, doc_lens):
+        return self.c.score(doc_lens)
+
+    def next(self):
+        self.c.next()
+
+    def next_geq(self, target):
+        self.c.next_geq(min(target, self.bound))
+
+    def block_max_docid(self):
+        return min(self.c.block_max_docid(), self.bound)
+
+    def block_max_score(self):
+        return self.c.block_max_score()
+
+    def block_max_next_geq(self, target):
+        self.c.block_max_next_geq(min(target, self.bound))
+
+    def exhausted(self):
+        return self.c.exhausted() or self.c.docid() >= self.bound
+
+
+def range_query(algorithm: str, cursors: List[Cursor], doc_lens: np.ndarray,
+                k: int, *, range_size: int = 1 << 14,
+                initial_threshold: float = 0.0) -> TopKQueue:
+    """Run ``algorithm`` over consecutive docid ranges, sharing one top-k
+    queue whose growing threshold prunes later ranges (range_query.hpp:8-39).
+    Rank-identical to the one-shot run."""
+    if not cursors:
+        return TopKQueue(k, initial_threshold)
+    sentinel = cursors[0].end_sentinel
+    algo = ALGORITHMS[algorithm]
+    q = TopKQueue(k, initial_threshold)
+    for lo in range(0, sentinel, range_size):
+        hi = min(lo + range_size, sentinel)
+        bounded = [_RangeBoundCursor(c, hi) for c in cursors
+                   if not c.exhausted()]
+        if not bounded:
+            break
+        sub = algo(bounded, doc_lens, k, q.effective_threshold
+                   if hasattr(q, "effective_threshold") else 0.0)
+        for score, doc in sub.topk():
+            q.insert(score, doc)
+        for b in bounded:
+            b.next_geq(hi)
+    return q
+
+
+ALGORITHMS["block_max_maxscore"] = block_max_maxscore
+ALGORITHMS["block_max_ranked_and"] = block_max_ranked_and

@@ -27,7 +27,8 @@ import pyarrow as pa
 
 from pisa_ray.analysis.analyzer import AnalyzerConfig, TextAnalyzer
 from pisa_ray.index.reader import InvertedIndex
-from pisa_ray.query.algorithms import ALGORITHMS, and_count, or_count
+from pisa_ray.query.algorithms import (ALGORITHMS, and_count,
+                                        or_count, range_query)
 from pisa_ray.query.cursors import make_cursors
 from pisa_ray.query.scorers import make_scorer
 
@@ -62,13 +63,41 @@ class QueryEngine:
 
     # -- execution ----------------------------------------------------------
     def run(self, query: str, k: int = 10, algorithm: str = "ranked_or_taat",
-            weighted: bool = False, initial_threshold: float = 0.0
-            ) -> List[Tuple[float, int]]:
-        """→ [(score, doc_id)] descending, ties by doc_id asc."""
+            weighted: bool = False, initial_threshold: float = 0.0,
+            range_size: Optional[int] = None) -> List[Tuple[float, int]]:
+        """→ [(score, doc_id)] descending, ties by doc_id asc.
+
+        ``range_size``: run the (DAAT) algorithm over consecutive docid
+        ranges sharing one queue (``range_query<T>`` capability,
+        range_query.hpp:8-39)."""
         term_ids, weights = self.parse_query(query, weighted)
         cursors = make_cursors(self.index, term_ids, self.scorer, weights)
-        algo = ALGORITHMS[algorithm]
-        q = algo(cursors, self.index.doc_lens, k, initial_threshold)
+        if range_size:
+            q = range_query(algorithm, cursors, self.index.doc_lens, k,
+                            range_size=range_size,
+                            initial_threshold=initial_threshold)
+        else:
+            algo = ALGORITHMS[algorithm]
+            q = algo(cursors, self.index.doc_lens, k, initial_threshold)
+        return q.finalize()
+
+    def run_shard(self, query: str, doc_lo: int, doc_hi: int, k: int = 10,
+                  algorithm: str = "block_max_wand"
+                  ) -> List[Tuple[float, int]]:
+        """Top-k restricted to docids in [doc_lo, doc_hi) — the per-shard
+        kernel of doc-sharded serving.  Rank-identical on merge because
+        collection statistics (df, avg_len, num_docs) are global."""
+        from pisa_ray.query.algorithms import _RangeBoundCursor
+
+        term_ids, weights = self.parse_query(query)
+        cursors = make_cursors(self.index, term_ids, self.scorer, weights)
+        for c in cursors:
+            c.next_geq(doc_lo)
+        bounded = [  # type: ignore[var-annotated]
+            _RangeBoundCursor(c, doc_hi) for c in cursors if not c.exhausted()]
+        if not bounded:
+            return []
+        q = ALGORITHMS[algorithm](bounded, self.index.doc_lens, k)
         return q.finalize()
 
     def threshold(self, query: str, k: int = 10,
@@ -126,19 +155,85 @@ class QueryBatchExecutor:
 
 def run_queries(queries, index_dir: str, *, k: int = 10,
                 algorithm: str = "ranked_or_taat", concurrency: int = 4,
-                **engine_kwargs):
+                batch_size: int = 16, **engine_kwargs):
     """Fan a query Dataset (or list of (qid, query)) across an actor pool.
-    Returns a Dataset of (qid, rank, doc_id, score)."""
+    Returns a Dataset of (qid, rank, doc_id, score).
+
+    ``batch_size`` controls queries-per-actor-call: small batches spread a
+    modest query log across the whole pool (one giant batch would serialize
+    on a single actor)."""
     import ray.data
 
     if not hasattr(queries, "map_batches"):
         queries = ray.data.from_items(
             [{"qid": q, "query": t} for q, t in queries])
+        queries = queries.repartition(
+            max(concurrency, queries.count() // max(1, batch_size)))
     return queries.map_batches(
         QueryBatchExecutor,
         fn_constructor_args=(index_dir, k, algorithm),
         fn_constructor_kwargs=engine_kwargs,
         batch_format="pyarrow",
+        batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def run_queries_sharded(queries, index_dir: str, *, num_shards: int = 4,
+                        k: int = 10, algorithm: str = "block_max_wand",
+                        concurrency: int = 4):
+    """Doc-sharded query fan-out: every (query, shard) pair is served by an
+    actor restricted to its docid range; per-shard top-k are merged with a
+    small groupby (score desc, docid asc).  Rank-identical to single-shard
+    serving because the index carries global statistics — the property the
+    reference's sharding relies on (SURVEY §2.12/§2.9).
+    Returns a Dataset of (qid, rank, doc_id, score)."""
+    import json
+    import os
+
+    import ray.data
+
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        num_docs = json.load(f)["num_docs"]
+    bounds = np.linspace(0, num_docs, num_shards + 1, dtype=np.int64)
+    pairs = [{"qid": qid, "query": text, "doc_lo": int(bounds[s]),
+              "doc_hi": int(bounds[s + 1])}
+             for qid, text in queries for s in range(num_shards)]
+    ds = ray.data.from_items(pairs).repartition(
+        max(concurrency, len(pairs) // 8))
+
+    class ShardExecutor:
+        def __init__(self):
+            self.engine = QueryEngine(index_dir)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            qids, docs, scores = [], [], []
+            for qid, text, lo, hi in zip(batch["qid"].to_pylist(),
+                                         batch["query"].to_pylist(),
+                                         batch["doc_lo"].to_pylist(),
+                                         batch["doc_hi"].to_pylist()):
+                for score, doc in self.engine.run_shard(
+                        text, lo, hi, k=k, algorithm=algorithm):
+                    qids.append(qid)
+                    docs.append(doc)
+                    scores.append(score)
+            return pa.table({
+                "qid": pa.array(qids, type=pa.string()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "score": pa.array(scores, type=pa.float64()),
+            })
+
+    import pandas as pd
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "doc_id"],
+                          ascending=[False, True]).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1)
+        return g[["qid", "rank", "doc_id", "score"]]
+
+    partial = ds.map_batches(ShardExecutor, batch_format="pyarrow",
+                             batch_size=8, concurrency=concurrency,
+                             num_cpus=1)
+    return partial.groupby("qid").map_groups(merge_topk,
+                                             batch_format="pandas")

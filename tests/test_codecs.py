@@ -71,3 +71,56 @@ def test_segment_block_random_access():
 def test_segment_rejects_empty():
     with pytest.raises(ValueError):
         encode_segment(np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint32))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.sets(st.integers(min_value=0, max_value=10**9), min_size=1,
+               max_size=500))
+def test_ef_roundtrip(values):
+    from pisa_ray.codecs.ef import ef_encode, ef_decode
+
+    vals = np.array(sorted(values), dtype=np.uint64)
+    assert list(ef_decode(ef_encode(vals), len(vals))) == list(vals)
+
+
+def test_ef_nondecreasing_with_dups():
+    from pisa_ray.codecs.ef import ef_encode, ef_decode
+
+    vals = np.array([0, 0, 1, 5, 5, 5, 100], dtype=np.uint64)
+    assert list(ef_decode(ef_encode(vals), len(vals))) == list(vals)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.sets(st.integers(min_value=0, max_value=10**6), min_size=1,
+               max_size=600), st.integers(min_value=1, max_value=7))
+def test_segment_roundtrip_ef(docset, tf_base):
+    docs = np.array(sorted(docset), dtype=np.uint64)
+    tfs = (np.arange(len(docs)) % tf_base + 1).astype(np.uint32)
+    row = encode_segment(docs, tfs, None, block_size=128, codec="ef")
+    view = SegmentView(row, codec="ef")
+    assert list(view.decode_docs()) == list(docs)
+    assert list(view.decode_freqs()) == list(tfs)
+
+
+def test_ef_index_build_end_to_end(ray_session, tmp_path):
+    import ray.data
+    import pyarrow as pa
+
+    from pisa_ray.index.build import IndexConfig, build_index
+    from pisa_ray.index.reader import InvertedIndex
+    from tests.oracle import OracleIndex, make_corpus
+
+    texts = make_corpus(40)
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    }))
+    out = str(tmp_path / "efidx")
+    build_index(corpus, out, config=IndexConfig(codec="ef", num_shards=2,
+                                                block_size=16))
+    idx = InvertedIndex(out)
+    oracle = OracleIndex(texts)
+    for tid, plist in oracle.postings.items():
+        docs, freqs = idx.posting_list(tid).decode()
+        assert list(docs) == [d for d, _ in plist]
+        assert list(freqs) == [tf for _, tf in plist]

@@ -132,3 +132,39 @@ def test_run_queries_actor_pool(engine, ray_session):
         want = oracle.topk(text, k=10)
         assert_topk_equivalent(
             list(zip(sub["score"], sub["doc_id"])), want, qid)
+
+
+@pytest.mark.parametrize("algorithm", ["block_max_maxscore",
+                                       "block_max_ranked_and"])
+def test_new_pruning_algorithms(engine, algorithm):
+    eng, oracle, _ = engine
+    for qid, text in QUERIES:
+        got = eng.run(text, k=10, algorithm=algorithm)
+        if algorithm == "block_max_ranked_and":
+            want = eng.run(text, k=10, algorithm="ranked_and")
+        else:
+            want = oracle.topk(text, k=10)
+        assert_topk_equivalent(got, want, f"{qid} {algorithm}")
+
+
+@pytest.mark.parametrize("algorithm", ["ranked_or", "wand", "block_max_wand",
+                                       "maxscore"])
+def test_range_query_rank_identical(engine, algorithm):
+    eng, oracle, _ = engine
+    for qid, text in QUERIES:
+        got = eng.run(text, k=10, algorithm=algorithm, range_size=16)
+        want = oracle.topk(text, k=10)
+        assert_topk_equivalent(got, want, f"{qid} range:{algorithm}")
+
+
+def test_sharded_serving_rank_identical(engine, ray_session):
+    from pisa_ray.query.engine import run_queries_sharded
+
+    eng, oracle, out_dir = engine
+    res = run_queries_sharded(QUERIES, out_dir, num_shards=3, k=10,
+                              concurrency=2).to_pandas()
+    for qid, text in QUERIES:
+        want = oracle.topk(text, k=10)
+        sub = res[res["qid"] == qid].sort_values("rank")
+        assert_topk_equivalent(list(zip(sub["score"], sub["doc_id"])),
+                               want, f"{qid} sharded")
