@@ -33,6 +33,9 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # fixed job-launch overhead — the scaling measurement needs parallel work
 # to dominate or Amdahl caps the efficiency.
 N_PAGES = int(os.environ.get("PISA_RAY_BENCH_PAGES", "100000"))
+# --scaling uses a larger corpus: the efficiency criterion needs parallel
+# compute to dominate the fixed per-job latencies (Amdahl)
+SCALING_PAGES = int(os.environ.get("PISA_RAY_SCALING_PAGES", "600000"))
 QUERY_REPEAT = int(os.environ.get("PISA_RAY_BENCH_QUERY_REPEAT", "20"))
 
 PAGES_CACHE = f"/tmp/pisa_ray_bench_pages_{N_PAGES}"
@@ -150,23 +153,34 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   PISA_RAY_BENCH_PAGES=str(SCALING_PAGES))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True, cwd=os.path.dirname(
                                  os.path.abspath(__file__))).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    # best-of-N per level: single runs on a shared box can be off by 2x
+    # (the reference's own query bench also uses warmup + repeated timed
+    # runs, tools/queries.cpp:70-115)
+    repeats = int(os.environ.get("PISA_RAY_SCALING_REPEATS", "2"))
     lo, hi = 8, 32
-    r_lo, r_hi = run(lo), run(hi)
+    runs_lo = [run(lo) for _ in range(repeats)]
+    runs_hi = [run(hi) for _ in range(repeats)]
+    r_lo = min(runs_lo, key=lambda r: r["queries"]["index_build"])
+    r_hi = min(runs_hi, key=lambda r: r["queries"]["index_build"])
     t_lo = r_lo["queries"]["index_build"]
     t_hi = r_hi["queries"]["index_build"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": "indexing scaling efficiency (8 vs 32 CPUs, fresh "
-                  "processes, same input)",
+                  "processes, same input, best of "
+                  f"{repeats})",
         "num_cpus_lo": lo, "num_cpus_hi": hi,
         "index_build_sec_lo": t_lo, "index_build_sec_hi": t_hi,
+        "all_sec_lo": [r["queries"]["index_build"] for r in runs_lo],
+        "all_sec_hi": [r["queries"]["index_build"] for r in runs_hi],
         "docs_per_sec_lo": r_lo["index_docs_per_sec"],
         "docs_per_sec_hi": r_hi["index_docs_per_sec"],
         "total_sec_lo": r_lo["value"], "total_sec_hi": r_hi["value"],

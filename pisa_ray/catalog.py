@@ -790,3 +790,152 @@ ORACLE_SQL: Dict[str, str] = {
     # minhash_lsh_pairs / simhash_pairs / lsh_ann_topk: approximate,
     # not SQL-expressible → rows-only checks
 }
+
+
+# ---------------------------------------------------------------------------
+# tool-parity entries (count_postings / selective_queries / intersections /
+# kth-threshold single-term estimates — SURVEY §2.13)
+
+def q_count_postings(sf_dir: str) -> pd.DataFrame:
+    from pisa_ray.tools import count_postings
+
+    eng = _engine(sf_dir)
+    return pd.DataFrame([
+        {"qid": qid, "n_postings": count_postings(eng, " ".join(terms))}
+        for qid, terms in QUERY_SET])
+
+
+SQL_COUNT_POSTINGS = f"""WITH {_TOKS_CTE},
+{_values_queries()},
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+qterms AS (SELECT DISTINCT qid, term FROM q),
+qids AS (SELECT DISTINCT qid FROM q)
+SELECT qids.qid,
+       CAST(COALESCE(sum(d.df), 0) AS BIGINT) AS n_postings
+FROM qids
+LEFT JOIN qterms USING (qid)
+LEFT JOIN dfs d ON qterms.term = d.term
+GROUP BY qids.qid"""
+
+
+def q_selective_queries(sf_dir: str) -> pd.DataFrame:
+    eng = _engine(sf_dir)
+    n = eng.index.stats.num_docs
+    rows = []
+    for qid, terms in QUERY_SET:
+        cnt = eng.bool_count(" ".join(terms), "or")
+        sel = cnt / n if n else 0.0
+        rows.append({"qid": qid,
+                     "or_selectivity": float(_round_match([sel], 6)[0]),
+                     "selected": bool(sel < 0.5)})
+    return pd.DataFrame(rows)
+
+
+SQL_SELECTIVE_QUERIES = f"""WITH {_TOKS_CTE},
+{_values_queries()},
+vocab AS (SELECT DISTINCT term FROM toks),
+known AS (SELECT DISTINCT q.qid, q.term FROM q JOIN vocab USING (term)),
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+ors AS (SELECT k.qid, count(DISTINCT d.doc_id) AS n_or
+        FROM known k JOIN dt d USING (term) GROUP BY k.qid),
+qids AS (SELECT DISTINCT qid FROM q),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents)
+SELECT qids.qid,
+       round(COALESCE(o.n_or, 0) / n.nd, 6) AS or_selectivity,
+       (COALESCE(o.n_or, 0) / n.nd < 0.5) AS selected
+FROM qids LEFT JOIN ors o USING (qid) CROSS JOIN n"""
+
+
+def q_intersection_stats(sf_dir: str) -> pd.DataFrame:
+    from pisa_ray.tools import compute_intersection
+
+    eng = _engine(sf_dir)
+    rows = []
+    for qid, terms in QUERY_SET:
+        df = compute_intersection(eng, " ".join(terms))
+        rows.append({"qid": qid,
+                     "length": int(df["length"].iloc[0]),
+                     "max_score": float(_round_match(
+                         [df["max_score"].iloc[0]], 4)[0])})
+    return pd.DataFrame(rows)
+
+
+SQL_INTERSECTION_STATS = f"""WITH {_TF_CTES},
+{_values_queries()},
+vocab AS (SELECT DISTINCT term FROM tf),
+known AS (SELECT DISTINCT q.qid, q.term FROM q JOIN vocab USING (term)),
+nk AS (SELECT qid, count(*) AS k FROM known GROUP BY qid),
+w AS (
+    SELECT tf.term, tf.doc_id, {_BM25_WEIGHT_SQL} AS weight
+    FROM tf JOIN df ON tf.term = df.term
+    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+),
+qdoc AS (
+    SELECT k.qid, w.doc_id, count(*) AS c, sum(w.weight) AS score
+    FROM known k JOIN w USING (term)
+    GROUP BY k.qid, w.doc_id
+),
+inter AS (
+    SELECT qd.qid, count(*) AS length, round(max(qd.score), 4) AS max_score
+    FROM qdoc qd JOIN nk USING (qid)
+    WHERE qd.c = nk.k
+    GROUP BY qd.qid
+),
+qids AS (SELECT DISTINCT qid FROM q)
+SELECT qids.qid, CAST(COALESCE(i.length, 0) AS BIGINT) AS length,
+       COALESCE(i.max_score, 0.0) AS max_score
+FROM qids LEFT JOIN inter i USING (qid)"""
+
+
+def q_kth_threshold_single(sf_dir: str) -> pd.DataFrame:
+    """Single-term kth-threshold lower bounds (the fork's kth_threshold
+    capability) over the fixed query set, k=10."""
+    from pisa_ray.tools import kth_threshold_estimate, term_topk_scores
+
+    eng = _engine(sf_dir)
+    tt = term_topk_scores(get_index_dir(sf_dir), k=TOPK).to_pandas()
+    term_topk = {int(r.term_id): list(r.kth_scores) for r in tt.itertuples()}
+    df = kth_threshold_estimate(
+        eng, [(qid, " ".join(ts)) for qid, ts in QUERY_SET],
+        k=TOPK, term_topk=term_topk)
+    out = df[["qid", "est_threshold"]].copy()
+    out["est_threshold"] = _round_match(out["est_threshold"].to_numpy(), 4)
+    return out
+
+
+SQL_KTH_THRESHOLD_SINGLE = f"""WITH {_TF_CTES},
+{_values_queries()},
+w AS (
+    SELECT tf.term, tf.doc_id, {_BM25_WEIGHT_SQL} AS weight
+    FROM tf JOIN df ON tf.term = df.term
+    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+),
+ranked_w AS (
+    SELECT term, weight,
+           row_number() OVER (PARTITION BY term
+                              ORDER BY weight DESC, doc_id) AS rn
+    FROM w
+),
+kth AS (SELECT term, weight AS kth_score FROM ranked_w WHERE rn = {TOPK}),
+qterms AS (SELECT DISTINCT qid, term FROM q),
+qids AS (SELECT DISTINCT qid FROM q)
+SELECT qids.qid,
+       round(COALESCE(max(k.kth_score), 0.0), 4) AS est_threshold
+FROM qids
+LEFT JOIN qterms USING (qid)
+LEFT JOIN kth k ON qterms.term = k.term
+GROUP BY qids.qid"""
+
+
+QUERIES.update({
+    "count_postings": q_count_postings,
+    "selective_queries": q_selective_queries,
+    "intersection_stats": q_intersection_stats,
+    "kth_threshold_single": q_kth_threshold_single,
+})
+ORACLE_SQL.update({
+    "count_postings": SQL_COUNT_POSTINGS,
+    "selective_queries": SQL_SELECTIVE_QUERIES,
+    "intersection_stats": SQL_INTERSECTION_STATS,
+    "kth_threshold_single": SQL_KTH_THRESHOLD_SINGLE,
+})

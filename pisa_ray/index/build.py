@@ -70,6 +70,18 @@ class IndexConfig:
     num_shards: int = 8
     quantize_bits: int = 0  # 0 = no quantization; 8 = reference default when on
     scorer_params: tuple = ()  # e.g. (("k1", 0.9), ("b", 0.4))
+    # Packed sort key: the inversion shuffle sorts ONE u64 column
+    # ((term_id << doc_id_bits) | doc_id) instead of a two-column key —
+    # Ray's multi-key range partitioning falls off the vectorized path and
+    # is ~7x slower.  doc_id must fit doc_id_bits (default 2^40 ≈ 10^12
+    # docs) and term_id the remaining 24 bits; build_index validates and
+    # falls back to the two-key sort if not.
+    doc_id_bits: int = 40
+    # Finalize the *small* aggregates (lexicon, doc sizes) on the driver
+    # from per-block partials: one pass, no shuffle.  Valid while vocab and
+    # doc count fit driver memory (≲10^7); at 10^9+ set False to use the
+    # distributed groupby paths instead.
+    small_tables_on_driver: bool = True
 
     def __post_init__(self):
         from pisa_ray.codecs import get_codec
@@ -151,7 +163,15 @@ class AnalyzeCountTokens:
         self.text_col = html_col or text_col
         self.id_col = id_col
         self.url_col = url_col
-        self.url_to_doc = ray.get(url_to_doc_ref) if url_to_doc_ref is not None else None
+        if url_to_doc_ref is not None:
+            # broadcast = sorted url array (position == docid rank); build
+            # the lookup dict ONCE per worker (this __init__ is cached per
+            # worker process) — pc.index_in would rehash the value_set on
+            # every batch
+            arr = ray.get(url_to_doc_ref)
+            self.url_to_doc = {u: i for i, u in enumerate(arr.to_pylist())}
+        else:
+            self.url_to_doc = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
@@ -160,8 +180,9 @@ class AnalyzeCountTokens:
             doc_ids_all = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         else:
             urls = batch[self.url_col].to_pylist()
-            doc_ids_all = np.fromiter(
-                (self.url_to_doc[u] for u in urls), dtype=np.uint64, count=len(urls))
+            lookup = self.url_to_doc
+            doc_ids_all = np.fromiter((lookup[u] for u in urls),
+                                      dtype=np.uint64, count=len(urls))
         return pa.table({
             "doc_id": pa.array(doc_ids_all[doc_idx], type=pa.uint64()),
             "term": pa.array(terms.astype(str), type=pa.string()),
@@ -183,7 +204,7 @@ def analyze_count_tokens(batch: pa.Table, *, config: AnalyzerConfig,
     in a per-worker cache without pinning CPUs to a pool (pools sized to
     the cluster starve the downstream sort on small clusters, and pool
     spawn cost dominates small jobs)."""
-    key = (config, html_col is not None)
+    key = (config, text_col, id_col, url_col, html_col, url_to_doc_ref)
     worker = _ANALYZER_CACHE.get(key)
     if worker is None:
         worker = AnalyzeCountTokens(config, text_col, id_col, url_col,
@@ -241,12 +262,25 @@ def _cached_get(ref):
     return val
 
 
-def map_term_ids(batch: pa.Table, *, terms_ref) -> pa.Table:
+def map_term_ids(batch: pa.Table, *, terms_ref, doc_id_bits: int = 0) -> pa.Table:
     """Vectorized term→term_id: ``pc.index_in`` against the sorted lexicon
     (position in the sorted value_set IS the term id).  At 10^9-term scale,
-    swap the broadcast for a hash join on ``term`` (SURVEY §2.5)."""
+    swap the broadcast for a hash join on ``term`` (SURVEY §2.5).
+
+    With ``doc_id_bits`` > 0, term_id and doc_id are packed into a single
+    u64 ``sort_key`` so the shuffle sorts one numeric column (see
+    IndexConfig.doc_id_bits); the encoder unpacks them."""
     terms = _cached_get(terms_ref)
     ids = pc.index_in(batch["term"], value_set=terms)
+    if doc_id_bits:
+        key = pc.bit_wise_or(
+            pc.shift_left(pc.cast(ids, pa.uint64()), doc_id_bits),
+            pc.cast(batch["doc_id"], pa.uint64()))
+        return pa.table({
+            "sort_key": key,
+            "tf": batch["tf"],
+            "doc_len": batch["doc_len"],
+        })
     return pa.table({
         "term_id": pc.cast(ids, pa.uint32()),
         "doc_id": batch["doc_id"],
@@ -259,7 +293,8 @@ def map_term_ids(batch: pa.Table, *, terms_ref) -> pa.Table:
 # stage 4: encode sorted runs into posting-list segments
 
 def encode_segments_batch(batch: pa.Table, *, stats: CollectionStats,
-                          term_stats_ref, config: IndexConfig) -> pa.Table:
+                          term_stats_ref, config: IndexConfig,
+                          max_score_ref=None) -> pa.Table:
     """map_batches over (term_id, doc_id)-sorted blocks: encode each
     term-run as one segment row (blocks + WAND metadata in one pass,
     mirroring the fused compress+wand design of SURVEY §3.3)."""
@@ -268,8 +303,20 @@ def encode_segments_batch(batch: pa.Table, *, stats: CollectionStats,
     num_terms = len(df_arr)
     dtype = np.float32 if cfg.score_dtype == "float32" else np.float64
     scorer = make_scorer(cfg.scorer, dtype=dtype, **dict(cfg.scorer_params))
-    term_ids = batch["term_id"].to_numpy(zero_copy_only=False)
-    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    if "sort_key" in batch.column_names:
+        key = batch["sort_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        term_ids = (key >> np.uint64(cfg.doc_id_bits)).astype(np.uint32)
+        doc_ids = key & np.uint64((1 << cfg.doc_id_bits) - 1)
+    else:
+        term_ids = batch["term_id"].to_numpy(zero_copy_only=False)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    quantizer = None
+    if cfg.quantize_bits and max_score_ref is not None:
+        from pisa_ray.query.scorers import quantize_scores
+
+        global_max = _cached_get(max_score_ref)
+        quantizer = lambda sc: quantize_scores(sc, global_max,
+                                               cfg.quantize_bits)
     tfs = batch["tf"].to_numpy(zero_copy_only=False).astype(np.uint32)
     doc_lens = batch["doc_len"].to_numpy(zero_copy_only=False).astype(np.uint32)
 
@@ -288,6 +335,12 @@ def encode_segments_batch(batch: pa.Table, *, stats: CollectionStats,
         ts = scorer.term_scorer(
             int(df_arr[tid]), int(occ_arr[tid]), stats)
         scores = ts(seg_tfs, doc_lens[lo:hi])
+        if quantizer is not None:
+            # quantized index: store the quantized impact score AS the
+            # frequency and derive block maxes from it (the reference's
+            # quantized build, src/compress.cpp:73-91 + scorer/quantized)
+            seg_tfs = quantizer(scores)
+            scores = seg_tfs.astype(np.float32)
         enc = encode_segment(seg_docs, seg_tfs, scores,
                              block_size=cfg.block_size, codec=cfg.codec)
         rows["term_id"].append(tid)
@@ -345,6 +398,11 @@ def build_index(
     ``html_col``: extract text from this binary column first (byte-identical
     gumbo semantics) instead of reading ``text_col``.
     """
+    def _trace(msg):
+        if os.environ.get("PISA_RAY_TRACE"):
+            print(f"[build {time.time() % 1000:.1f}] {msg}", flush=True)
+
+    _trace("start")
     config = config or IndexConfig()
     if analyzer_concurrency is None:
         # leave headroom for the read/write/shuffle stages so the actor
@@ -372,7 +430,19 @@ def build_index(
                  for f in sorted(os.listdir(paths["docmap"]))
                  if f.endswith(".parquet")])
         else:
-            urls = corpus.select_columns([url_col]).to_pandas()
+            # prune the url read: go straight to the source files when the
+            # corpus is a plain parquet read (select_columns alone may not
+            # push the projection down, and html columns are wide)
+            src_files = []
+            try:
+                src_files = corpus.input_files()
+            except Exception:
+                src_files = []
+            if src_files:
+                url_ds = ray.data.read_parquet(src_files, columns=[url_col])
+            else:
+                url_ds = corpus.select_columns([url_col])
+            urls = url_ds.to_pandas()
             if len(urls) > 5_000_000:
                 docmap = sorted_with_rank(
                     corpus.select_columns([url_col]), url_col, "doc_id",
@@ -396,14 +466,12 @@ def build_index(
                                                 "part-00000.parquet"))
                 write_manifest(paths["docmap"], cfg_hash)
         num_docs = dm.num_rows
-        url_to_doc_ref = ray.put(dict(zip(dm[url_col].to_pylist(),
-                                          dm["doc_id"].to_numpy())))
+        # broadcast the url column sorted by doc_id (== sorted by url):
+        # rank lookup becomes pc.index_in against this array
+        dm_sorted = dm.sort_by("doc_id")
+        url_to_doc_ref = ray.put(dm_sorted[url_col].combine_chunks())
     else:
         num_docs = corpus.count()
-
-    def _trace(msg):
-        if os.environ.get("PISA_RAY_TRACE"):
-            print(f"[build {time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
     _trace("docids done")
     # -- stage: fwd (analyze + count) --------------------------------------
@@ -429,31 +497,60 @@ def build_index(
             return pa.table({"doc_id": g.column("doc_id"),
                              "doc_len": g.column("doc_len_max")})
 
-        sizes = (
+        partial_sizes = (
             ray.data.read_parquet(paths["fwd"], columns=["doc_id", "doc_len"])
             .map_batches(_partial_sizes, batch_format="pyarrow")
-            .groupby("doc_id").max("doc_len")
-            .map_batches(
-                lambda t: pa.table({"doc_id": t.column("doc_id"),
-                                    "doc_len": t.column("max(doc_len)")}),
-                batch_format="pyarrow")
         )
         _trace("sizes: writing")
-        sizes.write_parquet(_fresh_stage_dir(paths["sizes"]))
+        if config.small_tables_on_driver:
+            sp = (partial_sizes.to_pandas()
+                  .groupby("doc_id", as_index=False)["doc_len"].max())
+            _fresh_stage_dir(paths["sizes"])
+            os.makedirs(paths["sizes"], exist_ok=True)
+            pq.write_table(
+                pa.table({"doc_id": pa.array(sp["doc_id"], type=pa.uint64()),
+                          "doc_len": pa.array(sp["doc_len"], type=pa.uint32())}),
+                os.path.join(paths["sizes"], "part-00000.parquet"))
+        else:
+            sizes = (
+                partial_sizes.groupby("doc_id").max("doc_len")
+                .map_batches(
+                    lambda t: pa.table({"doc_id": t.column("doc_id"),
+                                        "doc_len": t.column("max(doc_len)")}),
+                    batch_format="pyarrow")
+            )
+            sizes.write_parquet(_fresh_stage_dir(paths["sizes"]))
         write_manifest(paths["sizes"], cfg_hash)
 
     _trace("sizes done")
     # -- stage: lexicon -----------------------------------------------------
     if not (resume and stage_complete(paths["lexicon"], cfg_hash)):
-        agg = (
+        def _merge_partials(t: pa.Table) -> pa.Table:
+            g = pa.TableGroupBy(t, "term").aggregate(
+                [("df_part", "sum"), ("occ_part", "sum")])
+            return pa.table({"term": g.column("term"),
+                             "df_part": g.column("df_part_sum"),
+                             "occ_part": g.column("occ_part_sum")})
+
+        partials = (
             ray.data.read_parquet(paths["fwd"], columns=["term", "tf"])
             .map_batches(_partial_term_stats, batch_format="pyarrow")
-            .groupby("term").sum(["df_part", "occ_part"])
+            # tree step: merge many per-block partials into few, so the
+            # driver drain is ~vocab-sized, not vocab × num_blocks
+            .map_batches(_merge_partials, batch_format="pyarrow",
+                         batch_size=1 << 20)
         )
-        # rank assignment: vocab ≪ corpus → driver-side sort+rank in the
-        # same job that drains the aggregate (sorted_with_rank remains the
-        # distributed path for >10^8-term vocabularies)
-        agg_pd = agg.to_pandas()
+        if config.small_tables_on_driver:
+            # drain per-block partials (≤ vocab rows per block) and finish
+            # on the driver: one job, no shuffle
+            agg_pd = (partials.to_pandas()
+                      .groupby("term", as_index=False)
+                      .agg({"df_part": "sum", "occ_part": "sum"})
+                      .rename(columns={"df_part": "sum(df_part)",
+                                       "occ_part": "sum(occ_part)"}))
+        else:
+            agg_pd = partials.groupby("term").sum(
+                ["df_part", "occ_part"]).to_pandas()
         agg_pd = agg_pd.sort_values("term", kind="stable").reset_index(drop=True)
         lex_out = pa.table({
             "term": pa.array(agg_pd["term"], type=pa.string()),
@@ -491,20 +588,52 @@ def build_index(
         df_np = lex_table["df"].to_numpy()
         occ_np = lex_table["occ"].to_numpy()
         term_stats_ref = ray.put((df_np, occ_np))
+        max_score_ref = None
+        if config.quantize_bits:
+            def _batch_max(t: pa.Table) -> pa.Table:
+                df_a, occ_a = _cached_get(term_stats_ref)
+                dtype = (np.float32 if config.score_dtype == "float32"
+                         else np.float64)
+                sc = make_scorer(config.scorer, dtype=dtype,
+                                 **dict(config.scorer_params))
+                tids = pc.index_in(t["term"], value_set=_cached_get(terms_ref))
+                tids = tids.to_numpy(zero_copy_only=False)
+                tfs_np = t["tf"].to_numpy(zero_copy_only=False)
+                dls = t["doc_len"].to_numpy(zero_copy_only=False)
+                mx = 0.0
+                for tid in np.unique(tids):
+                    m = tids == tid
+                    ts_fn = sc.term_scorer(int(df_a[tid]), int(occ_a[tid]),
+                                           stats)
+                    mx = max(mx, float(ts_fn(tfs_np[m], dls[m]).max()))
+                return pa.table({"mx": pa.array([mx], type=pa.float64())})
+
+            gmax = (ray.data.read_parquet(paths["fwd"])
+                    .map_batches(_batch_max, batch_format="pyarrow")
+                    .max("mx"))
+            max_score_ref = ray.put(float(gmax))
+        use_packed = (config.doc_id_bits > 0
+                      and num_docs <= (1 << config.doc_id_bits)
+                      and num_terms <= (1 << (64 - config.doc_id_bits)))
         encoded = (
-            fwd.map_batches(map_term_ids, fn_kwargs={"terms_ref": terms_ref},
+            fwd.map_batches(map_term_ids,
+                            fn_kwargs={"terms_ref": terms_ref,
+                                       "doc_id_bits": config.doc_id_bits
+                                       if use_packed else 0},
                             batch_format="pyarrow")
-            .sort(["term_id", "doc_id"])
+            .sort("sort_key" if use_packed else ["term_id", "doc_id"])
             .map_batches(encode_segments_batch,
                          fn_kwargs={"stats": stats,
                                     "term_stats_ref": term_stats_ref,
-                                    "config": config},
+                                    "config": config,
+                                    "max_score_ref": max_score_ref},
                          batch_format="pyarrow",
                          batch_size=None)  # one call per sorted block
         )
         _trace("encode: writing")
         encoded.write_parquet(_fresh_stage_dir(paths["index"]),
                               partition_cols=["shard"])
+        _trace("encode done")
         write_manifest(paths["index"], cfg_hash, num_terms=int(num_terms),
                        num_shards=config.num_shards)
 

@@ -1,0 +1,211 @@
+"""Tool-parity utilities: the reference's CLI tool family re-expressed as
+engine calls / small Ray jobs (SURVEY §2.13).
+
+* ``count_postings``      — Σ posting-list lengths per query
+  (``/root/reference/tools/count_postings.cpp:17-51``).
+* ``selective_queries``   — keep queries whose OR/AND selectivity is below
+  a threshold (``tools/selective_queries.cpp:17-41``).
+* ``compute_intersection``— length + max score of the scored conjunction
+  (``include/pisa/intersection.hpp:46-92``); with ``combinations=True``
+  also every non-empty term subset (the ``--combinations`` mode).
+* ``extract_maxscores``   — per-term max score table
+  (``tools/extract_maxscores.cpp``).
+* ``stem_queries``        — rewrite queries with porter2
+  (``include/pisa/query/query_stemmer.hpp:14-38``).
+* ``term_topk_scores`` / ``kth_threshold_estimate`` — the fork's
+  kth_threshold family (``tools/kth_threshold.cpp:52-154``): precompute
+  per-term top-k impact scores as a Ray job over the index, then
+  lower-bound each query's top-k threshold by the max k-th single-term
+  score (optionally refined with cached pair intersections).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from pisa_ray.query.engine import QueryEngine
+
+
+def count_postings(engine: QueryEngine, query: str) -> int:
+    term_ids, _ = engine.parse_query(query)
+    return int(sum(engine.index.term_df(t) for t in term_ids))
+
+
+def selective_queries(engine: QueryEngine, queries: Sequence[Tuple[str, str]],
+                      *, max_selectivity: float = 0.005,
+                      op: str = "or") -> List[Tuple[str, str]]:
+    """Queries whose boolean result covers < max_selectivity of the
+    collection (the reference keeps AND- and OR-selective query sets)."""
+    n = engine.index.stats.num_docs
+    out = []
+    for qid, text in queries:
+        cnt = engine.bool_count(text, op)
+        if n and cnt / n < max_selectivity:
+            out.append((qid, text))
+    return out
+
+
+def compute_intersection(engine: QueryEngine, query: str,
+                         combinations: bool = False) -> pd.DataFrame:
+    """→ rows (terms, length, max_score): scored-conjunction size and max
+    score for the full term set (or every subset with combinations=True)."""
+    term_ids, _ = engine.parse_query(query)
+    subsets = (
+        [tuple(term_ids)] if not combinations else
+        [c for r in range(1, len(term_ids) + 1)
+         for c in itertools.combinations(term_ids, r)]
+    )
+    rows = []
+    for subset in subsets:
+        docs_sets = []
+        per_term: Dict[int, Dict[int, float]] = {}
+        ok = True
+        for tid in subset:
+            pl = engine.index.posting_list(tid)
+            if pl is None:
+                ok = False
+                break
+            docs, freqs = pl.decode()
+            ts = engine.scorer.term_scorer(
+                engine.index.term_df(tid), engine.index.term_occ(tid),
+                engine.index.stats)
+            scores = ts(freqs, engine.index.doc_lens[docs.astype(np.int64)])
+            per_term[tid] = dict(zip(docs.tolist(), scores.tolist()))
+            docs_sets.append(set(docs.tolist()))
+        if not ok or not docs_sets:
+            rows.append({"terms": list(subset), "length": 0, "max_score": 0.0})
+            continue
+        inter = set.intersection(*docs_sets)
+        if not inter:
+            rows.append({"terms": list(subset), "length": 0, "max_score": 0.0})
+            continue
+        best = max(sum(per_term[t][d] for t in subset) for d in inter)
+        rows.append({"terms": list(subset), "length": len(inter),
+                     "max_score": float(best)})
+    return pd.DataFrame(rows)
+
+
+def extract_maxscores(engine: QueryEngine) -> pd.DataFrame:
+    idx = engine.index
+    rows = []
+    for tid in range(idx.num_terms):
+        pl = idx.posting_list(tid)
+        rows.append({"term_id": tid,
+                     "term": idx.terms[tid].as_py(),
+                     "max_score": pl.max_score if pl else 0.0})
+    return pd.DataFrame(rows)
+
+
+def stem_queries(queries: Sequence[Tuple[str, str]]) -> List[Tuple[str, str]]:
+    from pisa_ray.analysis.stem import porter2_stem
+    from pisa_ray.analysis.tokenizers import english_tokenize
+
+    return [(qid, " ".join(porter2_stem(t.lower())
+                           for t in english_tokenize(text)))
+            for qid, text in queries]
+
+
+# ---------------------------------------------------------------------------
+# kth-threshold family (the fork's research suite, batch-analytics form)
+
+def term_topk_scores(index_dir: str, k: int = 10,
+                     concurrency: Optional[int] = None):
+    """Ray job: per-term top-k posting scores ("single-term substructures",
+    the cached building block of the fork's kth_threshold tools).
+
+    postings (segments) → score per posting → per-term top-k, computed
+    per-batch inside map_batches over the sharded index rows.
+    Returns a Dataset(term_id, kth_scores: list<float> descending)."""
+    import os
+
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from pisa_ray.index.reader import InvertedIndex
+
+    # the serving-side reader gives us stats + scorer wiring; each task
+    # re-reads only its own index rows
+    eng = QueryEngine(index_dir)
+    idx = eng.index
+    stats_ref = ray.put((idx.doc_lens, idx.stats, idx.df_arr, idx.occ_arr,
+                         idx.config))
+
+    def topk_batch(batch: pa.Table) -> pa.Table:
+        from pisa_ray.index.postings import SegmentView
+        from pisa_ray.query.scorers import make_scorer
+
+        doc_lens, stats, df_arr, occ_arr, cfg = _cached(stats_ref)
+        dtype = np.float32 if cfg.get("score_dtype") == "float32" else np.float64
+        scorer = make_scorer(cfg.get("scorer", "bm25"), dtype=dtype)
+        out_t, out_s = [], []
+        for i in range(batch.num_rows):
+            row = {n: batch[n][i].as_py() for n in batch.column_names}
+            view = SegmentView(row, block_size=cfg.get("block_size", 128),
+                               codec=cfg.get("codec", "bitpack"))
+            tid = int(row["term_id"])
+            docs = view.decode_docs()
+            freqs = view.decode_freqs()
+            ts = scorer.term_scorer(int(df_arr[tid]), int(occ_arr[tid]), stats)
+            scores = np.sort(ts(freqs, doc_lens[docs.astype(np.int64)]))[::-1]
+            out_t.append(tid)
+            out_s.append(scores[:k].astype(np.float64).tolist())
+        return pa.table({
+            "term_id": pa.array(out_t, type=pa.int64()),
+            "kth_scores": pa.array(out_s, type=pa.list_(pa.float64())),
+        })
+
+    ds = ray.data.read_parquet(os.path.join(index_dir, "index"))
+    partial = ds.map_batches(topk_batch, batch_format="pyarrow")
+
+    # merge segments of the same term (hot terms span several segments)
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        merged = np.sort(np.concatenate(
+            [np.asarray(x) for x in group["kth_scores"]]))[::-1][:k]
+        return pd.DataFrame({"term_id": [group["term_id"].iloc[0]],
+                             "kth_scores": [merged.tolist()]})
+
+    return partial.groupby("term_id").map_groups(merge, batch_format="pandas")
+
+
+def kth_threshold_estimate(engine: QueryEngine, queries, *, k: int = 10,
+                           term_topk: Optional[Dict[int, List[float]]] = None
+                           ) -> pd.DataFrame:
+    """Lower-bound top-k thresholds from cached single-term top-k scores
+    (kth_threshold.cpp semantics: threshold ≥ max over query terms of the
+    term's k-th best score; safe — never overestimates).  Returns
+    (qid, est_threshold, true_threshold, safe)."""
+    if term_topk is None:
+        tt = term_topk_scores(engine.index.out_dir, k=k).to_pandas()
+        term_topk = {int(r.term_id): list(r.kth_scores)
+                     for r in tt.itertuples()}
+    rows = []
+    for qid, text in queries:
+        term_ids, _ = engine.parse_query(text)
+        est = 0.0
+        for t in term_ids:
+            scores = term_topk.get(int(t), [])
+            if len(scores) >= k:
+                est = max(est, scores[k - 1])
+        true = engine.threshold(text, k=k)
+        rows.append({"qid": qid, "est_threshold": float(est),
+                     "true_threshold": float(true),
+                     "safe": bool(est <= true + 1e-9)})
+    return pd.DataFrame(rows)
+
+
+_TOOL_CACHE: Dict = {}
+
+
+def _cached(ref):
+    import ray
+
+    val = _TOOL_CACHE.get(ref)
+    if val is None:
+        val = ray.get(ref)
+        _TOOL_CACHE[ref] = val
+    return val

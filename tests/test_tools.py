@@ -1,0 +1,157 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tests.oracle import OracleIndex, make_corpus
+
+
+@pytest.fixture(scope="module")
+def toolbox(ray_session, tmp_path_factory):
+    import ray.data
+
+    from pisa_ray.index.build import IndexConfig, build_index
+    from pisa_ray.query.engine import QueryEngine
+
+    texts = make_corpus(60)
+    out = str(tmp_path_factory.mktemp("tools"))
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    }))
+    build_index(corpus, out, config=IndexConfig(num_shards=2, block_size=16))
+    return QueryEngine(out), OracleIndex(texts), out
+
+
+def test_count_postings(toolbox):
+    from pisa_ray.tools import count_postings
+
+    eng, oracle, _ = toolbox
+    got = count_postings(eng, "thehot term001")
+    want = (oracle.df[oracle.term_to_id["thehot"]]
+            + oracle.df[oracle.term_to_id["term001"]])
+    assert got == want
+    assert count_postings(eng, "zzz") == 0
+
+
+def test_selective_queries(toolbox):
+    from pisa_ray.tools import selective_queries
+
+    eng, oracle, _ = toolbox
+    qs = [("rare", "term059"), ("hot", "thehot")]
+    sel = selective_queries(eng, qs, max_selectivity=0.5)
+    names = [q for q, _ in sel]
+    assert "rare" in names and "hot" not in names
+
+
+def test_compute_intersection(toolbox):
+    from pisa_ray.tools import compute_intersection
+
+    eng, oracle, _ = toolbox
+    df = compute_intersection(eng, "term001 term005")
+    t1, t5 = oracle.term_to_id["term001"], oracle.term_to_id["term005"]
+    d1 = {d for d, _ in oracle.postings[t1]}
+    d5 = {d for d, _ in oracle.postings[t5]}
+    assert df["length"].iloc[0] == len(d1 & d5)
+    if len(d1 & d5):
+        want = max(
+            float(oracle.bm25_weight(
+                dict(oracle.postings[t1])[d], d, oracle.df[t1]))
+            + float(oracle.bm25_weight(
+                dict(oracle.postings[t5])[d], d, oracle.df[t5]))
+            for d in (d1 & d5))
+        assert df["max_score"].iloc[0] == pytest.approx(want, rel=1e-5)
+    combos = compute_intersection(eng, "term001 term005", combinations=True)
+    assert len(combos) == 3  # {t1}, {t5}, {t1,t5}
+
+
+def test_extract_maxscores_and_stem(toolbox):
+    from pisa_ray.tools import extract_maxscores, stem_queries
+
+    eng, _, _ = toolbox
+    ms = extract_maxscores(eng)
+    assert len(ms) == eng.index.num_terms
+    assert (ms["max_score"] > 0).all()
+    assert stem_queries([("q1", "Running nationally")]) == [("q1", "run nation")]
+
+
+def test_kth_threshold_estimate_safe(toolbox, ray_session):
+    from pisa_ray.tools import kth_threshold_estimate, term_topk_scores
+
+    eng, oracle, out = toolbox
+    tt = term_topk_scores(out, k=5).to_pandas()
+    term_topk = {int(r.term_id): list(r.kth_scores) for r in tt.itertuples()}
+    # per-term top-k scores match brute force
+    for tid, plist in list(oracle.postings.items())[:10]:
+        want = sorted(
+            (float(oracle.bm25_weight(tf, d, oracle.df[tid]))
+             for d, tf in plist), reverse=True)[:5]
+        assert term_topk[tid] == pytest.approx(want, rel=1e-5)
+    df = kth_threshold_estimate(
+        eng, [("q1", "thehot"), ("q2", "term001 term005"), ("q3", "zzz")],
+        k=5, term_topk=term_topk)
+    assert df["safe"].all()  # the estimate is a lower bound, always
+
+
+def test_quantized_index(ray_session, tmp_path):
+    """Quantized build: freqs hold 8-bit quantized impact scores; the
+    quantized scorer reproduces a close top-k (reference: quantized index
+    equivalence at epsilon, test_ranked_queries quantized variants)."""
+    import ray.data
+
+    from pisa_ray.index.build import IndexConfig, build_index
+    from pisa_ray.query.engine import QueryEngine
+
+    texts = make_corpus(60)
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    }))
+    raw_dir = str(tmp_path / "raw")
+    qtz_dir = str(tmp_path / "qtz")
+    build_index(corpus, raw_dir, config=IndexConfig(num_shards=2))
+    build_index(corpus, qtz_dir,
+                config=IndexConfig(num_shards=2, quantize_bits=8))
+    raw = QueryEngine(raw_dir)
+    qtz = QueryEngine(qtz_dir, scorer="quantized")
+    oracle = OracleIndex(texts)
+    # only terms with real (non-epsilon) idf discriminate after linear
+    # quantization; the synthetic corpus is stopword-heavy so pick the
+    # rarest terms (df < N/2)
+    rare = sorted(oracle.term_to_id.items(),
+                  key=lambda kv: oracle.df[kv[1]])[:6]
+    q = " ".join(t for t, _ in rare[:3])
+    top_raw = [d for _, d in raw.run(q, k=10)]
+    top_qtz = [d for _, d in qtz.run(q, k=10)]
+    overlap = len(set(top_raw) & set(top_qtz)) / max(1, len(top_raw))
+    assert overlap >= 0.7, (q, top_raw, top_qtz)
+    # quantized freqs of a rare term hold multi-level impact scores
+    from pisa_ray.index.reader import InvertedIndex
+
+    qidx = InvertedIndex(qtz_dir)
+    _, freqs = qidx.posting_list(qidx.term_id(rare[0][0])).decode()
+    assert freqs.max() > 1
+
+
+def test_reorder_random_and_mapping(ray_session, tmp_path):
+    import ray.data
+
+    from pisa_ray.index.build import IndexConfig, build_index
+    from pisa_ray.index.reader import InvertedIndex
+    from pisa_ray.index.reorder import assign_mapping, assign_random
+
+    texts = ["alpha beta", "alpha gamma", "beta gamma"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    }))
+    perm = assign_random(ds, seed=3).to_pandas().sort_values("text")
+    assert set(perm["doc_id"]) == {0, 1, 2}
+    mapped = assign_mapping(ds, {0: 2, 1: 0, 2: 1}).to_pandas()
+    assert dict(zip(mapped["text"].str[:5], mapped["doc_id"]))["alpha"] in (0, 2)
+
+    out = str(tmp_path / "ridx")
+    build_index(assign_mapping(ds, {0: 2, 1: 0, 2: 1}), out,
+                config=IndexConfig(num_shards=1))
+    idx = InvertedIndex(out)
+    docs, _ = idx.posting_list(idx.term_id("alpha")).decode()
+    assert list(docs) == [0, 2]  # old docs 0,1 → new ids 2,0
