@@ -35,7 +35,11 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("PISA_RAY_BENCH_PAGES", "100000"))
 # --scaling uses a larger corpus: the efficiency criterion needs parallel
 # compute to dominate the fixed per-job latencies (Amdahl)
-SCALING_PAGES = int(os.environ.get("PISA_RAY_SCALING_PAGES", "600000"))
+SCALING_PAGES = int(os.environ.get("PISA_RAY_SCALING_PAGES", "3000000"))
+# inversion exchange for the bench build: the explicit salted partition
+# exchange (fuses encode+write into reducers, per-partition resume) is the
+# scale path; "sort" selects the Dataset-native range shuffle
+EXCHANGE = os.environ.get("PISA_RAY_EXCHANGE", "partition")
 QUERY_REPEAT = int(os.environ.get("PISA_RAY_BENCH_QUERY_REPEAT", "20"))
 
 PAGES_CACHE = f"/tmp/pisa_ray_bench_pages_{N_PAGES}"
@@ -84,7 +88,8 @@ def run_bench() -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.time()
     corpus = ray.data.read_parquet(pages_dir, columns=["url", "html"])
-    build_index(corpus, out_dir, config=IndexConfig(num_shards=8),
+    build_index(corpus, out_dir,
+                config=IndexConfig(num_shards=8, exchange=EXCHANGE),
                 id_col=None, url_col="url", html_col="html", resume=False)
     timings["index_build"] = round(time.time() - t0, 3)
     extras["index_docs_per_sec"] = round(N_PAGES / timings["index_build"], 1)

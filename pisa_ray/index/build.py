@@ -70,6 +70,11 @@ class IndexConfig:
     num_shards: int = 8
     quantize_bits: int = 0  # 0 = no quantization; 8 = reference default when on
     scorer_params: tuple = ()  # e.g. (("k1", 0.9), ("b", 0.4))
+    # Inversion exchange: "sort" = Dataset.sort (Ray-Data-native range
+    # shuffle); "partition" = explicit salted map/reduce exchange with raw
+    # Ray tasks (pisa_ray.index.exchange) — fuses encode+write into the
+    # reducers and resumes at partition granularity.
+    exchange: str = "sort"
     # Packed sort key: the inversion shuffle sorts ONE u64 column
     # ((term_id << doc_id_bits) | doc_id) instead of a two-column key —
     # Ray's multi-key range partitioning falls off the vectorized path and
@@ -90,6 +95,9 @@ class IndexConfig:
         if self.score_dtype not in ("float32", "float64"):
             raise ValueError(f"score_dtype must be float32/float64, "
                              f"got {self.score_dtype!r}")
+        if self.exchange not in ("sort", "partition"):
+            raise ValueError(f"exchange must be sort/partition, "
+                             f"got {self.exchange!r}")
 
     def analyzer_config(self) -> AnalyzerConfig:
         return AnalyzerConfig(
@@ -164,12 +172,10 @@ class AnalyzeCountTokens:
         self.id_col = id_col
         self.url_col = url_col
         if url_to_doc_ref is not None:
-            # broadcast = sorted url array (position == docid rank); build
-            # the lookup dict ONCE per worker (this __init__ is cached per
-            # worker process) — pc.index_in would rehash the value_set on
-            # every batch
-            arr = ray.get(url_to_doc_ref)
-            self.url_to_doc = {u: i for i, u in enumerate(arr.to_pylist())}
+            # broadcast = the urls as a SORTED fixed-width bytes array;
+            # position == docid rank, lookup = vectorized np.searchsorted
+            # (no per-worker python dict, no per-batch value_set rehash)
+            self.url_to_doc = ray.get(url_to_doc_ref)
         else:
             self.url_to_doc = None
 
@@ -179,10 +185,11 @@ class AnalyzeCountTokens:
         if self.id_col is not None:
             doc_ids_all = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         else:
-            urls = batch[self.url_col].to_pylist()
-            lookup = self.url_to_doc
-            doc_ids_all = np.fromiter((lookup[u] for u in urls),
-                                      dtype=np.uint64, count=len(urls))
+            sorted_urls = self.url_to_doc
+            batch_urls = np.asarray(batch[self.url_col].to_pylist(),
+                                    dtype=sorted_urls.dtype)
+            doc_ids_all = np.searchsorted(sorted_urls,
+                                          batch_urls).astype(np.uint64)
         return pa.table({
             "doc_id": pa.array(doc_ids_all[doc_idx], type=pa.uint64()),
             "term": pa.array(terms.astype(str), type=pa.string()),
@@ -443,7 +450,7 @@ def build_index(
             else:
                 url_ds = corpus.select_columns([url_col])
             urls = url_ds.to_pandas()
-            if len(urls) > 5_000_000:
+            if len(urls) > 50_000_000:
                 docmap = sorted_with_rank(
                     corpus.select_columns([url_col]), url_col, "doc_id",
                     pa.uint64())
@@ -454,11 +461,14 @@ def build_index(
                      for f in sorted(os.listdir(paths["docmap"]))
                      if f.endswith(".parquet")])
             else:
-                u = urls[url_col].to_numpy()
+                # fixed-width bytes dtype: numpy sorts/searches it with C
+                # memcmp instead of python object comparisons
+                u = np.asarray(urls[url_col].to_numpy(), dtype="S")
                 order = np.argsort(u, kind="stable")
                 ranks = np.empty(len(u), dtype=np.uint64)
                 ranks[order] = np.arange(len(u), dtype=np.uint64)
-                dm = pa.table({url_col: pa.array(u, type=pa.string()),
+                dm = pa.table({url_col: pa.array([b.decode() for b in u],
+                                                 type=pa.string()),
                                "doc_id": pa.array(ranks, type=pa.uint64())})
                 _fresh_stage_dir(paths["docmap"])
                 os.makedirs(paths["docmap"], exist_ok=True)
@@ -466,10 +476,12 @@ def build_index(
                                                 "part-00000.parquet"))
                 write_manifest(paths["docmap"], cfg_hash)
         num_docs = dm.num_rows
-        # broadcast the url column sorted by doc_id (== sorted by url):
-        # rank lookup becomes pc.index_in against this array
+        # broadcast the url column sorted by doc_id (== sorted by url) as a
+        # fixed-width bytes array for vectorized searchsorted rank lookup
         dm_sorted = dm.sort_by("doc_id")
-        url_to_doc_ref = ray.put(dm_sorted[url_col].combine_chunks())
+        sorted_urls = np.asarray(
+            [u.encode() for u in dm_sorted[url_col].to_pylist()], dtype="S")
+        url_to_doc_ref = ray.put(sorted_urls)
     else:
         num_docs = corpus.count()
 
@@ -612,6 +624,28 @@ def build_index(
                     .map_batches(_batch_max, batch_format="pyarrow")
                     .max("mx"))
             max_score_ref = ray.put(float(gmax))
+        if config.exchange == "partition":
+            import glob as _glob
+
+            from pisa_ray.index.exchange import run_exchange
+
+            fwd_files = sorted(_glob.glob(os.path.join(paths["fwd"],
+                                                       "*.parquet")))
+            info = run_exchange(
+                fwd_files, out_dir, terms_ref=terms_ref,
+                term_stats_ref=term_stats_ref, stats=stats, config=config,
+                num_terms=int(num_terms), num_docs=int(num_docs),
+                resume=resume)
+            _trace(f"encode done (partition exchange: {info})")
+            write_manifest(paths["index"], cfg_hash, num_terms=int(num_terms),
+                           num_shards=config.num_shards, **info)
+            with open(os.path.join(out_dir, "config.json"), "w") as f:
+                json.dump({**asdict(config), "config_hash": cfg_hash,
+                           "num_terms": int(num_terms)}, f, indent=2,
+                          default=str)
+            return {"stats": stats, "num_terms": num_terms,
+                    "out_dir": out_dir}
+
         use_packed = (config.doc_id_bits > 0
                       and num_docs <= (1 << config.doc_id_bits)
                       and num_terms <= (1 << (64 - config.doc_id_bits)))

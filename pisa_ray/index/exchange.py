@@ -1,0 +1,166 @@
+"""Partitioned inversion exchange: explicit salted shuffle with raw Ray.
+
+The Dataset-native inversion (`build_index` with ``exchange="sort"``) uses
+``Dataset.sort`` — correct and idiomatic, but its sample/split machinery
+costs a flat ~6 s per job on one box and its range partitioning is opaque.
+This module is the documented escape hatch (SURVEY §2/§4 "salted keys"):
+
+* **map** — one task per fwd file: term→id remap, then scatter rows to
+  ``P = term_buckets × doc_buckets`` partitions keyed by
+  ``(term-range bucket, doc-range salt)``.  The doc-range salt splits a
+  stopword-grade term into contiguous, disjoint docid ranges — each
+  partition's segments stay mergeable and no hot key lands on one reducer.
+* **reduce** — one task per partition: concat map outputs, sort by the
+  packed ``(term_id << bits) | doc_id`` key, encode posting-list segments
+  (reusing ``encode_segments_batch``), and write one Parquet file directly
+  into its term-range shard directory + a per-partition manifest.
+
+Per-partition manifests make the index stage resumable at *partition*
+granularity: a rerun skips partitions whose manifest exists (the
+reference's re-runnable staged batches, ``tools/parse_collection.cpp:45-52``,
+at shuffle-partition grain).
+
+Partitioning assumption (documented per SURVEY §2 custom-operator rule):
+within one partition a term's postings form one contiguous docid range;
+across partitions a term's ranges are disjoint, ordered by the salt — the
+reader merges segments by ``first_doc``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+
+
+def _partition_ids(term_ids: np.ndarray, doc_ids: np.ndarray,
+                   num_terms: int, num_docs: int,
+                   term_buckets: int, doc_buckets: int) -> np.ndarray:
+    tb = (term_ids.astype(np.uint64) * term_buckets // max(1, num_terms))
+    salt = (doc_ids.astype(np.uint64) * doc_buckets // max(1, num_docs))
+    return (tb * doc_buckets + salt).astype(np.int64)
+
+
+@ray.remote
+def _exchange_map(files: List[str], terms_ref_box, doc_id_bits: int,
+                  num_terms: int, num_docs: int,
+                  term_buckets: int, doc_buckets: int) -> List[pa.Table]:
+    """Read fwd files → remap term ids → scatter to P partition tables."""
+    P = term_buckets * doc_buckets
+    tbl = pa.concat_tables([pq.read_table(f) for f in files])
+    # refs are boxed in a list so Ray doesn't auto-deref them per task;
+    # fetched once per worker via the plasma cache
+    terms = ray.get(terms_ref_box[0])
+    ids = pc.index_in(tbl["term"], value_set=terms)
+    tid = ids.to_numpy(zero_copy_only=False).astype(np.uint64)
+    did = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    key = (tid << np.uint64(doc_id_bits)) | did
+    out = pa.table({
+        "sort_key": pa.array(key, type=pa.uint64()),
+        "tf": tbl["tf"],
+        "doc_len": tbl["doc_len"],
+    })
+    parts = _partition_ids(tid, did, num_terms, num_docs,
+                           term_buckets, doc_buckets)
+    order = np.argsort(parts, kind="stable")
+    sorted_tbl = out.take(pa.array(order))
+    bounds = np.searchsorted(parts[order], np.arange(P + 1))
+    return [sorted_tbl.slice(int(bounds[p]), int(bounds[p + 1] - bounds[p]))
+            for p in range(P)]
+
+
+@ray.remote
+def _exchange_reduce(part_idx: int, shard: int, out_dir: str, stats,
+                     term_stats_ref_box, config, *tables) -> Dict:
+    """Concat one partition, sort by packed key, encode, write its file."""
+    from pisa_ray.index.build import encode_segments_batch
+
+    live = [t for t in tables if t.num_rows]
+    if not live:
+        _write_part_manifest(out_dir, part_idx, rows=0, segments=0)
+        return {"part": part_idx, "rows": 0, "segments": 0}
+    tbl = pa.concat_tables(live)
+    order = np.argsort(tbl["sort_key"].to_numpy(zero_copy_only=False),
+                       kind="stable")
+    tbl = tbl.take(pa.array(order))
+    encoded = encode_segments_batch(
+        tbl, stats=stats, term_stats_ref=term_stats_ref_box[0],
+        config=config)
+    shard_dir = os.path.join(out_dir, "index", f"shard={shard}")
+    os.makedirs(shard_dir, exist_ok=True)
+    encoded = encoded.drop_columns(["shard"])
+    pq.write_table(encoded, os.path.join(shard_dir,
+                                         f"part-{part_idx:05d}.parquet"))
+    _write_part_manifest(out_dir, part_idx, rows=tbl.num_rows,
+                         segments=encoded.num_rows)
+    return {"part": part_idx, "rows": tbl.num_rows,
+            "segments": encoded.num_rows}
+
+
+def _parts_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "index", "_parts")
+
+
+def _write_part_manifest(out_dir: str, part_idx: int, **info) -> None:
+    os.makedirs(_parts_dir(out_dir), exist_ok=True)
+    p = os.path.join(_parts_dir(out_dir), f"part-{part_idx:05d}.json")
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"complete": True, **info}, f)
+    os.replace(tmp, p)
+
+
+def part_complete(out_dir: str, part_idx: int) -> bool:
+    p = os.path.join(_parts_dir(out_dir), f"part-{part_idx:05d}.json")
+    try:
+        with open(p) as f:
+            return json.load(f).get("complete", False)
+    except (OSError, json.JSONDecodeError):
+        return False
+
+
+def run_exchange(fwd_files: List[str], out_dir: str, *, terms_ref,
+                 term_stats_ref, stats, config, num_terms: int,
+                 num_docs: int, doc_buckets: Optional[int] = None,
+                 files_per_map: int = 4, resume: bool = True) -> Dict:
+    """Full map→reduce inversion exchange.  Returns counts."""
+    term_buckets = config.num_shards
+    if doc_buckets is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        doc_buckets = max(1, (2 * cpus) // max(1, term_buckets) + 1)
+    P = term_buckets * doc_buckets
+
+    groups = [fwd_files[i: i + files_per_map]
+              for i in range(0, len(fwd_files), files_per_map)]
+    map_refs = [
+        _exchange_map.options(num_returns=P).remote(
+            g, [terms_ref], config.doc_id_bits, num_terms, num_docs,
+            term_buckets, doc_buckets)
+        for g in groups
+    ]
+    # normalize: with num_returns=P each entry is a list of P refs
+    per_map = [r if isinstance(r, list) else [r] for r in map_refs]
+
+    reduce_refs = []
+    skipped = 0
+    for p in range(P):
+        if resume and part_complete(out_dir, p):
+            skipped += 1
+            continue
+        shard = p // doc_buckets  # term-range bucket is the major axis
+        reduce_refs.append(_exchange_reduce.remote(
+            p, shard, out_dir, stats, [term_stats_ref], config,
+            *[m[p] for m in per_map]))
+    results = ray.get(reduce_refs)
+    return {
+        "partitions": P,
+        "skipped": skipped,
+        "rows": int(sum(r["rows"] for r in results)),
+        "segments": int(sum(r["segments"] for r in results)),
+    }
