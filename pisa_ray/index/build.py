@@ -172,10 +172,12 @@ class AnalyzeCountTokens:
         self.id_col = id_col
         self.url_col = url_col
         if url_to_doc_ref is not None:
-            # broadcast = the urls as a SORTED fixed-width bytes array;
-            # position == docid rank, lookup = vectorized np.searchsorted
-            # (no per-worker python dict, no per-batch value_set rehash)
-            self.url_to_doc = ray.get(url_to_doc_ref)
+            # broadcast = SORTED url Arrow array; convert once per worker
+            # to fixed-width bytes so per-batch lookups are one vectorized
+            # np.searchsorted (position == docid rank)
+            arr = ray.get(url_to_doc_ref)
+            self.url_to_doc = np.asarray(
+                arr.to_numpy(zero_copy_only=False), dtype="S")
         else:
             self.url_to_doc = None
 
@@ -461,27 +463,29 @@ def build_index(
                      for f in sorted(os.listdir(paths["docmap"]))
                      if f.endswith(".parquet")])
             else:
-                # fixed-width bytes dtype: numpy sorts/searches it with C
-                # memcmp instead of python object comparisons
-                u = np.asarray(urls[url_col].to_numpy(), dtype="S")
-                order = np.argsort(u, kind="stable")
-                ranks = np.empty(len(u), dtype=np.uint64)
-                ranks[order] = np.arange(len(u), dtype=np.uint64)
-                dm = pa.table({url_col: pa.array([b.decode() for b in u],
-                                                 type=pa.string()),
-                               "doc_id": pa.array(ranks, type=pa.uint64())})
+                # sort with Arrow's C kernel; the doc_id of row i in the
+                # SORTED table is simply i, so the docmap stores sorted
+                # urls + arange (no python-object conversions on the driver)
+                u_col = pa.Table.from_pandas(urls)[url_col].combine_chunks()
+                order = pc.sort_indices(u_col)
+                sorted_urls_arr = pc.take(u_col, order)
+                n = len(sorted_urls_arr)
+                dm = pa.table({url_col: sorted_urls_arr,
+                               "doc_id": pa.array(
+                                   np.arange(n, dtype=np.uint64),
+                                   type=pa.uint64())})
                 _fresh_stage_dir(paths["docmap"])
                 os.makedirs(paths["docmap"], exist_ok=True)
                 pq.write_table(dm, os.path.join(paths["docmap"],
                                                 "part-00000.parquet"))
                 write_manifest(paths["docmap"], cfg_hash)
         num_docs = dm.num_rows
-        # broadcast the url column sorted by doc_id (== sorted by url) as a
-        # fixed-width bytes array for vectorized searchsorted rank lookup
+        # broadcast the SORTED url column as an Arrow array (zero-copy into
+        # plasma); each worker converts it once to a fixed-width bytes
+        # numpy array for vectorized searchsorted — the conversion cost is
+        # paid in parallel on workers, not serially on the driver
         dm_sorted = dm.sort_by("doc_id")
-        sorted_urls = np.asarray(
-            [u.encode() for u in dm_sorted[url_col].to_pylist()], dtype="S")
-        url_to_doc_ref = ray.put(sorted_urls)
+        url_to_doc_ref = ray.put(dm_sorted[url_col].combine_chunks())
     else:
         num_docs = corpus.count()
 

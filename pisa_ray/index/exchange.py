@@ -128,12 +128,13 @@ def part_complete(out_dir: str, part_idx: int) -> bool:
 def run_exchange(fwd_files: List[str], out_dir: str, *, terms_ref,
                  term_stats_ref, stats, config, num_terms: int,
                  num_docs: int, doc_buckets: Optional[int] = None,
-                 files_per_map: int = 4, resume: bool = True) -> Dict:
+                 files_per_map: int = 1, resume: bool = True) -> Dict:
     """Full map→reduce inversion exchange.  Returns counts."""
     term_buckets = config.num_shards
     if doc_buckets is None:
+        # ≥2 reduce waves' worth of partitions per CPU keeps every core busy
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        doc_buckets = max(1, (2 * cpus) // max(1, term_buckets) + 1)
+        doc_buckets = max(1, (4 * cpus) // max(1, term_buckets) + 1)
     P = term_buckets * doc_buckets
 
     groups = [fwd_files[i: i + files_per_map]
