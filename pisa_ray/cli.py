@@ -71,6 +71,7 @@ def cmd_build(args) -> int:
         scorer=args.scorer, codec=args.codec, block_size=args.block_size,
         num_shards=args.num_shards, exchange=args.exchange,
         quantize_bits=args.quantize_bits,
+        wand_block_size=args.wand_block_size, wand_lambda=args.wand_lambda,
     )
     info = build_index(
         corpus, args.output, config=cfg,
@@ -187,6 +188,10 @@ def main(argv=None) -> int:
     b.add_argument("--exchange", default="sort",
                    choices=["sort", "partition"])
     b.add_argument("--quantize-bits", type=int, default=0)
+    b.add_argument("--wand-block-size", type=int, default=0,
+                   help="independent fixed wand-block size (0 = codec blocks)")
+    b.add_argument("--wand-lambda", type=float, default=0.0,
+                   help="variable-sized wand blocks (SIGIR'17), per-block cost")
     b.add_argument("--no-resume", action="store_true")
     b.set_defaults(fn=cmd_build)
 

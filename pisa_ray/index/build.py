@@ -69,6 +69,11 @@ class IndexConfig:
     codec: str = "bitpack"
     num_shards: int = 8
     quantize_bits: int = 0  # 0 = no quantization; 8 = reference default when on
+    # WAND metadata blocks: 0/0.0 = same as codec blocks; wand_block_size
+    # picks an independent fixed size; wand_lambda > 0 the SIGIR'17
+    # variable-sized partition (wand_utils.hpp:23-83 capabilities)
+    wand_block_size: int = 0
+    wand_lambda: float = 0.0
     scorer_params: tuple = ()  # e.g. (("k1", 0.9), ("b", 0.4))
     # Inversion exchange: "sort" = Dataset.sort (Ray-Data-native range
     # shuffle); "partition" = explicit salted map/reduce exchange with raw
@@ -98,6 +103,8 @@ class IndexConfig:
         if self.exchange not in ("sort", "partition"):
             raise ValueError(f"exchange must be sort/partition, "
                              f"got {self.exchange!r}")
+        if self.wand_lambda < 0:
+            raise ValueError("wand_lambda must be >= 0")
 
     def analyzer_config(self) -> AnalyzerConfig:
         return AnalyzerConfig(
@@ -332,7 +339,8 @@ def encode_segments_batch(batch: pa.Table, *, stats: CollectionStats,
     rows: Dict[str, list] = {k: [] for k in (
         "term_id", "shard", "df", "occ", "first_doc", "last_doc",
         "doc_payload", "freq_payload", "doc_endpoints", "freq_endpoints",
-        "block_last_docs", "block_max_scores", "max_score")}
+        "block_last_docs", "block_max_scores", "wand_last_docs",
+        "wand_max_scores", "max_score")}
 
     boundaries = np.flatnonzero(np.diff(term_ids)) + 1
     starts = np.concatenate(([0], boundaries))
@@ -351,13 +359,16 @@ def encode_segments_batch(batch: pa.Table, *, stats: CollectionStats,
             seg_tfs = quantizer(scores)
             scores = seg_tfs.astype(np.float32)
         enc = encode_segment(seg_docs, seg_tfs, scores,
-                             block_size=cfg.block_size, codec=cfg.codec)
+                             block_size=cfg.block_size, codec=cfg.codec,
+                             wand_block_size=cfg.wand_block_size,
+                             wand_lambda=cfg.wand_lambda)
         rows["term_id"].append(tid)
         rows["shard"].append(tid * cfg.num_shards // max(1, num_terms))
         rows["occ"].append(int(seg_tfs.sum()))
         for k in ("df", "first_doc", "last_doc", "doc_payload",
                   "freq_payload", "doc_endpoints", "freq_endpoints",
-                  "block_last_docs", "block_max_scores", "max_score"):
+                  "block_last_docs", "block_max_scores", "wand_last_docs",
+                  "wand_max_scores", "max_score"):
             rows[k].append(enc[k])
 
     return pa.table({
@@ -377,6 +388,10 @@ def encode_segments_batch(batch: pa.Table, *, stats: CollectionStats,
                                     type=pa.list_(pa.uint64())),
         "block_max_scores": pa.array([x.tolist() for x in rows["block_max_scores"]],
                                      type=pa.list_(pa.float32())),
+        "wand_last_docs": pa.array([x.tolist() for x in rows["wand_last_docs"]],
+                                   type=pa.list_(pa.uint64())),
+        "wand_max_scores": pa.array([x.tolist() for x in rows["wand_max_scores"]],
+                                    type=pa.list_(pa.float32())),
         "max_score": pa.array([float(x) for x in rows["max_score"]],
                               type=pa.float32()),
     })

@@ -43,9 +43,15 @@ def encode_segment(
     *,
     block_size: int = BLOCK_SIZE,
     codec: str = "bitpack",
+    wand_block_size: int = 0,
+    wand_lambda: float = 0.0,
 ) -> Dict[str, object]:
     """Encode one segment (ascending docids). ``scores`` aligned with
-    postings enables WAND metadata; pass None to skip (max fields = 0)."""
+    postings enables WAND metadata; pass None to skip (max fields = 0).
+
+    WAND metadata blocks default to the codec blocks; ``wand_block_size``
+    selects an independent fixed size, ``wand_lambda`` > 0 the SIGIR'17
+    variable partition (stored in wand_last_docs / wand_max_scores)."""
     enc, _ = get_codec(codec)
     monotone = codec in MONOTONE_CODECS
     n = len(doc_ids)
@@ -100,6 +106,15 @@ def encode_segment(
         block_max_scores = np.zeros(nblocks, dtype=np.float32)
         max_score = np.float32(0.0)
 
+    wand_last = np.empty(0, dtype=np.uint64)
+    wand_max = np.empty(0, dtype=np.float32)
+    if scores is not None and wand_lambda > 0:
+        wand_last, wand_max = wand_partition_variable(
+            doc_ids, scores, wand_lambda)
+    elif scores is not None and wand_block_size:
+        wand_last, wand_max = wand_partition_fixed(
+            doc_ids, scores, wand_block_size)
+
     return {
         "df": np.int64(n),
         "first_doc": doc_ids[0],
@@ -110,6 +125,8 @@ def encode_segment(
         "freq_endpoints": freq_endpoints,
         "block_last_docs": block_last_docs,
         "block_max_scores": block_max_scores,
+        "wand_last_docs": wand_last,
+        "wand_max_scores": wand_max,
         "max_score": max_score,
     }
 
@@ -119,7 +136,8 @@ class SegmentView:
 
     __slots__ = ("n", "block_size", "doc_payload", "freq_payload",
                  "doc_endpoints", "freq_endpoints", "block_last_docs",
-                 "block_max_scores", "max_score", "_dec", "_monotone")
+                 "block_max_scores", "wand_last_docs", "wand_max_scores",
+                 "max_score", "_dec", "_monotone")
 
     def __init__(self, row: Dict[str, object], *, block_size: int = BLOCK_SIZE,
                  codec: str = "bitpack"):
@@ -133,6 +151,15 @@ class SegmentView:
         self.freq_endpoints = np.asarray(row["freq_endpoints"], dtype=np.uint32)
         self.block_last_docs = np.asarray(row["block_last_docs"], dtype=np.uint64)
         self.block_max_scores = np.asarray(row["block_max_scores"], dtype=np.float32)
+        wl = row.get("wand_last_docs") if hasattr(row, "get") else None
+        wm = row.get("wand_max_scores") if hasattr(row, "get") else None
+        if wl is not None and len(wl):
+            self.wand_last_docs = np.asarray(wl, dtype=np.uint64)
+            self.wand_max_scores = np.asarray(wm, dtype=np.float32)
+        else:
+            # wand blocks == codec blocks (the default coupling)
+            self.wand_last_docs = self.block_last_docs
+            self.wand_max_scores = self.block_max_scores
         self.max_score = float(row["max_score"])
 
     @property
@@ -170,3 +197,59 @@ class SegmentView:
         if self.num_blocks == 0:
             return np.empty(0, dtype=np.uint32)
         return np.concatenate([self.decode_block_freqs(b) for b in range(self.num_blocks)])
+
+
+# ---------------------------------------------------------------------------
+# WAND block partitions decoupled from codec blocks
+#
+# The reference's score metadata can use fixed-size blocks of a different
+# size than the codec (wand_utils.hpp:23-54) or variable-sized blocks chosen
+# to minimize the slack between per-block maxes and actual scores plus a
+# per-block cost λ (score_opt_partition, Mallia et al., SIGIR'17).  Here the
+# variable partition is an exact bounded-window DP over the same objective:
+#   cost(block) = Σ_i (max(block) − score_i) + λ·n,   block length ≤ max_len
+# Dynamic pruning stays correct under ANY partition (block maxes are upper
+# bounds); the partition only affects pruning efficiency.
+
+def wand_partition_fixed(doc_ids: np.ndarray, scores: np.ndarray,
+                         size: int):
+    n = len(doc_ids)
+    nblocks = (n + size - 1) // size
+    last = doc_ids[np.minimum(np.arange(1, nblocks + 1) * size, n) - 1]
+    pad = nblocks * size - n
+    padded = np.pad(scores.astype(np.float32), (0, pad),
+                    constant_values=-np.inf) if pad else scores.astype(np.float32)
+    maxes = padded.reshape(nblocks, size).max(axis=1)
+    return last.astype(np.uint64), maxes.astype(np.float32)
+
+
+def wand_partition_variable(doc_ids: np.ndarray, scores: np.ndarray,
+                            lam: float, max_len: int = 256):
+    """Exact DP with block length capped at max_len: O(n·max_len)."""
+    n = len(scores)
+    s = scores.astype(np.float64)
+    prefix = np.concatenate(([0.0], np.cumsum(s)))
+    best = np.full(n + 1, np.inf)
+    best[0] = 0.0
+    back = np.zeros(n + 1, dtype=np.int64)
+    for j in range(1, n + 1):
+        lo = max(0, j - max_len)
+        # running max of s[i:j] as i decreases
+        m = -np.inf
+        for i in range(j - 1, lo - 1, -1):
+            if s[i] > m:
+                m = s[i]
+            cost = best[i] + m * (j - i) - (prefix[j] - prefix[i]) + lam
+            if cost < best[j]:
+                best[j] = cost
+                back[j] = i
+    bounds = []
+    j = n
+    while j > 0:
+        bounds.append(j)
+        j = int(back[j])
+    bounds = bounds[::-1]
+    last = doc_ids[np.array(bounds, dtype=np.int64) - 1].astype(np.uint64)
+    maxes = np.array([s[a:b].max() for a, b in
+                      zip([0] + bounds[:-1], bounds)], dtype=np.float32)
+    return last, maxes

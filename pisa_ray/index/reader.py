@@ -97,6 +97,9 @@ class InvertedIndex:
             fe = idx["freq_endpoints"].to_pylist()
             bld = idx["block_last_docs"].to_pylist()
             bms = idx["block_max_scores"].to_pylist()
+            has_wand = "wand_last_docs" in idx.column_names
+            wld = idx["wand_last_docs"].to_pylist() if has_wand else None
+            wms = idx["wand_max_scores"].to_pylist() if has_wand else None
             mx = idx["max_score"].to_numpy()
             for i in range(len(tid)):
                 row = {
@@ -106,6 +109,8 @@ class InvertedIndex:
                     "freq_payload": cols["freq_payload"][i],
                     "doc_endpoints": de[i], "freq_endpoints": fe[i],
                     "block_last_docs": bld[i], "block_max_scores": bms[i],
+                    "wand_last_docs": wld[i] if wld is not None else None,
+                    "wand_max_scores": wms[i] if wms is not None else None,
                     "max_score": mx[i],
                 }
                 self._segments.setdefault(int(tid[i]), []).append(

@@ -25,6 +25,7 @@ class Cursor:
 
     __slots__ = ("pl", "scorer", "max_score", "end_sentinel", "q_weight",
                  "_seg_of_block", "_idx_in_seg", "_block_last", "_block_max",
+                 "_wand_last", "_wand_max",
                  "_block_start", "n", "_b", "_docs", "_freqs", "_scores",
                  "_i", "_exhausted", "_wb")
 
@@ -51,6 +52,12 @@ class Cursor:
             [seg.block_last_docs for seg in pl.segments]).astype(np.uint64)
         self._block_max = np.concatenate(
             [seg.block_max_scores for seg in pl.segments]).astype(np.float32)
+        # wand-data blocks may differ from codec blocks (fixed other size
+        # or SIGIR'17 variable partition); the block-max API uses these
+        self._wand_last = np.concatenate(
+            [seg.wand_last_docs for seg in pl.segments]).astype(np.uint64)
+        self._wand_max = np.concatenate(
+            [seg.wand_max_scores for seg in pl.segments]).astype(np.float32)
         self._block_start = np.asarray(starts, dtype=np.int64)
         self._b = -1
         self._docs = self._freqs = self._scores = None
@@ -129,23 +136,23 @@ class Cursor:
     # (cursor/block_max_scored_cursor.hpp:12-84): shallow moves never decode.
 
     def block_max_docid(self) -> int:
-        if self._exhausted or self._wb >= len(self._block_last):
+        if self._exhausted or self._wb >= len(self._wand_last):
             return self.end_sentinel
-        return int(self._block_last[self._wb])
+        return int(self._wand_last[self._wb])
 
     def block_max_score(self) -> float:
-        if self._exhausted or self._wb >= len(self._block_last):
+        if self._exhausted or self._wb >= len(self._wand_last):
             return 0.0
-        return float(self._block_max[self._wb]) * self.q_weight
+        return float(self._wand_max[self._wb]) * self.q_weight
 
     def block_max_next_geq(self, target: int) -> None:
         """Shallow advance: move only the wand-data block pointer to the
         block whose docid range covers ``target`` (no posting decode)."""
         if self._exhausted:
             return
-        if self._wb < len(self._block_last) and self._block_last[self._wb] >= np.uint64(target):
+        if self._wb < len(self._wand_last) and self._wand_last[self._wb] >= np.uint64(target):
             return
-        self._wb = int(np.searchsorted(self._block_last, np.uint64(target),
+        self._wb = int(np.searchsorted(self._wand_last, np.uint64(target),
                                        side="left"))
 
     def exhausted(self) -> bool:

@@ -124,3 +124,49 @@ def test_ef_index_build_end_to_end(ray_session, tmp_path):
         docs, freqs = idx.posting_list(tid).decode()
         assert list(docs) == [d for d, _ in plist]
         assert list(freqs) == [tf for _, tf in plist]
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.sets(st.integers(min_value=0, max_value=5000), min_size=5,
+               max_size=400),
+       st.lists(st.integers(min_value=0, max_value=5000), min_size=8,
+                max_size=8))
+def test_cursor_next_geq_property(docset, targets):
+    """Cursor skip behavior matches brute force on random lists."""
+    from pisa_ray.index.reader import PostingList
+    from pisa_ray.query.cursors import Cursor
+
+    docs = np.array(sorted(docset), dtype=np.uint64)
+    tfs = (np.arange(len(docs)) % 3 + 1).astype(np.uint32)
+    seg = SegmentView(encode_segment(docs, tfs, np.ones(len(docs),
+                                                        dtype=np.float32),
+                                     block_size=16), block_size=16)
+    pl = PostingList(0, [seg])
+    cur = Cursor(pl, lambda f, d: f.astype(np.float64), 10**9)
+    arr = docs.astype(np.int64)
+    for t in sorted(targets):
+        cur.next_geq(t)
+        i = np.searchsorted(arr, t)
+        want = int(arr[i]) if i < len(arr) else 10**9
+        assert cur.docid() == want, (t, cur.docid(), want)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.sets(st.integers(min_value=0, max_value=3000), min_size=3,
+               max_size=300), st.floats(min_value=0.05, max_value=2.0))
+def test_wand_partition_variable_properties(docset, lam):
+    """Variable partition: covers the list, maxes are exact per block."""
+    from pisa_ray.index.postings import wand_partition_variable
+
+    docs = np.array(sorted(docset), dtype=np.uint64)
+    rng = np.random.default_rng(len(docs))
+    scores = rng.random(len(docs)).astype(np.float32)
+    last, maxes = wand_partition_variable(docs, scores, lam)
+    assert last[-1] == docs[-1]
+    assert np.all(np.diff(last.astype(np.int64)) > 0)
+    lo = 0
+    for ld, mx in zip(last, maxes):
+        hi = np.searchsorted(docs, ld, side="right")
+        assert mx == pytest.approx(float(scores[lo:hi].max()), rel=1e-6)
+        lo = hi
+    assert lo == len(docs)

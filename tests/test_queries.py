@@ -168,3 +168,38 @@ def test_sharded_serving_rank_identical(engine, ray_session):
         sub = res[res["qid"] == qid].sort_values("rank")
         assert_topk_equivalent(list(zip(sub["score"], sub["doc_id"])),
                                want, f"{qid} sharded")
+
+
+@pytest.mark.parametrize("wand_cfg", [{"wand_block_size": 8},
+                                      {"wand_lambda": 0.3}])
+def test_decoupled_wand_blocks_rank_identical(ray_session, tmp_path,
+                                              wand_cfg):
+    """Fixed-other-size and variable (SIGIR'17) wand partitions keep every
+    block-max algorithm rank-identical (bounds stay upper bounds)."""
+    import ray.data
+
+    from pisa_ray.index.build import IndexConfig, build_index
+    from pisa_ray.query.engine import QueryEngine
+
+    texts = make_corpus(60)
+    oracle = OracleIndex(texts)
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    }))
+    out = str(tmp_path / "widx")
+    build_index(corpus, out, config=IndexConfig(
+        num_shards=2, block_size=16, **wand_cfg))
+    eng = QueryEngine(out)
+    for qid, text in QUERIES:
+        for algo in ("block_max_wand", "block_max_maxscore"):
+            got = eng.run(text, k=10, algorithm=algo)
+            want = oracle.topk(text, k=10)
+            assert_topk_equivalent(got, want, f"{qid} {algo} {wand_cfg}")
+    # variable partition actually differs from the codec partition
+    from pisa_ray.index.reader import InvertedIndex
+
+    idx = InvertedIndex(out)
+    hot = idx.term_id("thehot")
+    seg = idx.posting_list(hot).segments[0]
+    assert len(seg.wand_last_docs) != 0
