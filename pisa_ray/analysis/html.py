@@ -24,6 +24,7 @@ are stripped first, mirroring ``/root/reference/src/parser.cpp:160-187``.
 
 from __future__ import annotations
 
+import re
 from html.parser import HTMLParser
 from typing import List, Union
 
@@ -96,6 +97,41 @@ def strip_http_headers(content: str) -> str:
     return content
 
 
+# -- fast path --------------------------------------------------------------
+# html.parser's per-character python loop dominates the analyze stage
+# (~55% of tokenize+extract time).  For documents whose markup is
+# unambiguous, one compiled-regex split produces the exact same text-node
+# stream; anything risky (stray '<', quoted attribute values that may hide
+# '>', unterminated tags) falls back to the event parser.  Both paths
+# implement the same " ".join(non-ws text nodes outside script/style)
+# semantics; equality is property-tested on the generated corpus.
+
+import html as _html_mod
+
+_FAST_SPLIT_RE = re.compile(
+    r"(?is)<script[^>]*>.*?(?:</script[^>]*>|\Z)"
+    r"|<style[^>]*>.*?(?:</style[^>]*>|\Z)"
+    r"|<!--.*?(?:-->|\Z)"
+    r"|</?[a-zA-Z][^>]*>"
+    r"|<[!?][^>]*>"
+)
+# conditions that make the single-pass split unsafe
+_RISKY_LT_RE = re.compile(r"<(?![a-zA-Z/!?])")
+_RISKY_QUOTED_ATTR_RE = re.compile(r"<[a-zA-Z/!?][^>]*[\"']")
+
+
+def _fast_cleantext(html: str) -> str:
+    parts = _FAST_SPLIT_RE.split(html)
+    out = []
+    for t in parts:
+        if not t:
+            continue
+        u = _html_mod.unescape(t) if "&" in t else t
+        if u and not u.isspace():
+            out.append(u)
+    return " ".join(out)
+
+
 def html_to_text(html: Union[str, bytes]) -> str:
     """Extract clean text from an HTML document (gumbo cleantext semantics).
 
@@ -104,6 +140,16 @@ def html_to_text(html: Union[str, bytes]) -> str:
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", errors="replace")
     html = strip_http_headers(html)
+
+    last_lt = html.rfind("<")
+    safe = (
+        _RISKY_LT_RE.search(html) is None
+        and _RISKY_QUOTED_ATTR_RE.search(html) is None
+        and (last_lt == -1 or html.find(">", last_lt) != -1)
+    )
+    if safe:
+        return _fast_cleantext(html)
+
     parser = _CleanTextParser()
     try:
         parser.feed(html)

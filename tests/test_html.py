@@ -60,3 +60,39 @@ def test_void_and_malformed():
     assert html_to_text("<p>a<br>b</p>") == "a b"
     # unclosed tags: parser recovers, text preserved
     assert html_to_text("<div><p>a<p>b") == "a b"
+
+
+def test_fast_path_equals_parser_on_corpus():
+    """The regex fast path and the event parser produce identical text for
+    every generated page (and the corpus actually exercises the fast path)."""
+    from pisa_ray.analysis import html as H
+    from pisa_ray.io.pages import generate_pages
+
+    tbl = generate_pages(300, seed=99)
+    fast_used = 0
+    for raw, want in zip(tbl["html"].to_pylist(), tbl["text"].to_pylist()):
+        s = raw.decode()
+        s2 = H.strip_http_headers(s)
+        safe = (H._RISKY_LT_RE.search(s2) is None
+                and H._RISKY_QUOTED_ATTR_RE.search(s2) is None)
+        if safe:
+            fast_used += 1
+        assert H.html_to_text(raw) == want
+        # force the slow path too and compare
+        p = H._CleanTextParser()
+        p.feed(s2)
+        p.close()
+        assert " ".join(p.texts) == want
+    assert fast_used > 250  # fast path actually active
+
+
+def test_fast_path_fallback_cases():
+    from pisa_ray.analysis.html import html_to_text
+
+    # stray '<' → slow path; both semantics keep it as text
+    assert html_to_text("<p>a < b</p>") == "a < b"
+    # quoted attr hiding '>' → slow path handles properly
+    assert html_to_text('<a title="x>y">z</a>') == "z"
+    # unterminated tag at EOF → slow path (html.parser keeps the dangling
+    # fragment as text; the fast path must not be used here)
+    assert html_to_text("<p>ok</p><div foo") == "ok <div foo"
