@@ -63,3 +63,29 @@ def test_count_batch_empty():
     doc_idx, terms, tfs, doc_lens = az.count_batch(["", "?!"])
     assert len(doc_idx) == 0 and len(terms) == 0 and len(tfs) == 0
     assert list(doc_lens) == [0, 0]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=400))
+def test_analyzer_never_crashes_on_unicode(s):
+    """Robustness: arbitrary unicode (incl. surrogate-adjacent, control
+    chars, emoji) through the full chain never raises and yields tokens
+    from the expected character classes."""
+    az = TextAnalyzer(AnalyzerConfig(token_filters=("lowercase", "porter2")))
+    toks = az.analyze(s)
+    assert all(t == "" or all(c.isascii() for c in t) for t in toks)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(max_size=300))
+def test_html_to_text_never_crashes(s):
+    from pisa_ray.analysis.html import html_to_text
+
+    out = html_to_text(s)
+    assert isinstance(out, str)
+    out2 = html_to_text(("<p>" + s + "</p>").encode("utf-8", "ignore"))
+    assert isinstance(out2, str)
