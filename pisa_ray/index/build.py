@@ -5,14 +5,15 @@ resumable Ray pipeline (parse_collection → invert → compress →
 create_wand_data; see SURVEY.md §3):
 
     read_parquet(corpus)
-      → map_batches(AnalyzeCountTokens, actor pool)        # tokenize + tf count
+      → map_batches(analyze_count_tokens, worker-cached)    # tokenize + tf count
       → [checkpoint] fwd/ parquet: (doc_id, term, tf, doc_len)
-      → groupby-free partial agg + groupby(term).sum        # lexicon stats
-      → sorted_with_rank(term) → lexicon/                   # term_id = rank
-      → map_batches(map_term_ids, broadcast lexicon)       # term → term_id
-      → sort(term_id, doc_id)                               # THE wide shuffle
-      → map_batches(encode_segments_batch)                  # blocks + WAND
-      → write index/ parquet partitioned by term-range shard + manifest
+      → per-block partial agg → lexicon/                    # term_id = sorted rank
+      → map_batches(map_term_ids, broadcast lexicon)        # term → packed u64 key
+      → inversion exchange                                  # THE wide shuffle:
+          exchange="sort": Dataset.sort(packed key)         #   Ray-Data-native
+          exchange="partition": salted map/reduce tasks     #   explicit, resumable
+      → map_batches(encode_segments_batch)                  # blocks + WAND fused
+      → index/shard=K/ parquet + per-stage (and per-partition) manifests
 
 Inversion-by-sort replaces the reference's in-RAM sort + serial batch merge
 (``/root/reference/src/invert.cpp:74-238``): after ``sort(term_id, doc_id)``
