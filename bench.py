@@ -10,7 +10,9 @@ Pipelines timed:
     url-rank docids; full analyze → lexicon → sort shuffle → compressed
     segments + WAND) — the engine's headline docs/sec metric.
   * query_topk  — fixed BM25 query set served repeatedly through the
-    actor-pool executor (block_max_wand), reported with per-query latency.
+    actor-pool executor (taat_maxscore, the vectorized pruned path; the
+    per-posting BMW/maxscore kernels are parity paths), with per-query
+    latency.
   * minhash_dedup — MinHash-LSH near-dup pairs over the sf documents table.
   * ann_topk    — brute-force cosine top-k over the sf embeddings table.
 
@@ -108,7 +110,7 @@ def run_bench() -> dict:
         vocab_queries.append((qid, " ".join(ws)))
     t0 = time.time()
     res = run_queries(vocab_queries, out_dir, k=10,
-                      algorithm="block_max_wand",
+                      algorithm="taat_maxscore",
                       concurrency=min(16, max(2, NUM_CPUS - 2)),
                       batch_size=8)
     n_results = res.count()

@@ -205,7 +205,8 @@ def main(argv=None) -> int:
         q.add_argument("--algorithm", default="block_max_wand",
                        choices=["ranked_or", "ranked_or_taat", "ranked_and",
                                 "wand", "block_max_wand", "maxscore",
-                                "block_max_maxscore", "block_max_ranked_and"])
+                                "block_max_maxscore", "block_max_ranked_and",
+                                "taat_maxscore"])
         if name == "evaluate":
             q.add_argument("--run-id", default="pisa_ray")
             q.add_argument("--output", default=None)

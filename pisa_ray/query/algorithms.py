@@ -520,3 +520,83 @@ def range_query(algorithm: str, cursors: List[Cursor], doc_lens: np.ndarray,
 
 ALGORITHMS["block_max_maxscore"] = block_max_maxscore
 ALGORITHMS["block_max_ranked_and"] = block_max_ranked_and
+
+
+def taat_maxscore(cursors: List[Cursor], doc_lens: np.ndarray, k: int,
+                  initial_threshold: float = 0.0) -> TopKQueue:
+    """Vectorized TAAT with MaxScore pruning — the large-corpus serving
+    path.  Lists are processed in descending max_score; once the remaining
+    lists' combined bound cannot lift an untouched document over the
+    current threshold, they only update *candidate* documents (vectorized
+    ``searchsorted`` intersection instead of full accumulation).  Sound for
+    the same reason as maxscore: bounds are upper bounds.  Rank-identical
+    to ranked_or."""
+    q = TopKQueue(k, initial_threshold)
+    if not cursors:
+        return q
+    cs = sorted(cursors, key=lambda c: c.max_score, reverse=True)
+    m = len(cs)
+    upper = np.zeros(m + 1, dtype=np.float64)
+    for i in range(m - 1, -1, -1):
+        upper[i] = upper[i + 1] + cs[i].max_score
+
+    n = len(doc_lens)
+    acc = np.zeros(n, dtype=np.float32)
+    touched = np.zeros(n, dtype=bool)
+    threshold = float(np.nextafter(np.float32(initial_threshold),
+                                   np.float32(0.0)))
+
+    def current_threshold() -> float:
+        cand = np.flatnonzero(touched)
+        if len(cand) < k:
+            return threshold
+        sc = acc[cand]
+        kth = np.partition(sc, len(sc) - k)[len(sc) - k]
+        return max(threshold, float(kth))
+
+    i = 0
+    while i < m:
+        if touched.any() and upper[i] <= current_threshold():
+            break  # remaining lists can't create new top-k entrants alone…
+        c = cs[i]
+        docs, freqs = c.pl.decode()
+        idx = docs.astype(np.int64)
+        acc[idx] += (c.scorer(freqs, doc_lens[idx]) * c.q_weight
+                     ).astype(np.float32)
+        touched[idx] = True
+        i += 1
+
+    if i < m:
+        # …but existing candidates may still be lifted: only docs whose
+        # accumulated score + remaining bound beats the threshold matter
+        thr = current_threshold()
+        cand = np.flatnonzero(touched)
+        cand = cand[acc[cand] + upper[i] > thr]
+        for j in range(i, m):
+            if len(cand) == 0 or not upper[j] > 0:
+                break
+            c = cs[j]
+            docs, freqs = c.pl.decode()
+            pos = np.searchsorted(docs, cand.astype(np.uint64))
+            pos = np.clip(pos, 0, len(docs) - 1)
+            hit = docs[pos] == cand.astype(np.uint64)
+            if hit.any():
+                hp = pos[hit]
+                hd = cand[hit]
+                acc[hd] += (c.scorer(freqs[hp], doc_lens[hd])
+                            * c.q_weight).astype(np.float32)
+            # tighten the candidate set with the next remaining bound
+            thr = current_threshold()
+            cand = cand[acc[cand] + upper[j + 1] > thr]
+
+    candidates = np.flatnonzero(touched)
+    if len(candidates) == 0:
+        return q
+    scores = acc[candidates]
+    order = np.lexsort((candidates, -scores.astype(np.float64)))[:k]
+    for o in order:
+        q.insert(float(scores[o]), int(candidates[o]))
+    return q
+
+
+ALGORITHMS["taat_maxscore"] = taat_maxscore

@@ -203,3 +203,12 @@ def test_decoupled_wand_blocks_rank_identical(ray_session, tmp_path,
     hot = idx.term_id("thehot")
     seg = idx.posting_list(hot).segments[0]
     assert len(seg.wand_last_docs) != 0
+
+
+@pytest.mark.parametrize("k", [3, 10, 50])
+def test_taat_maxscore_rank_identical(engine, k):
+    eng, oracle, _ = engine
+    for qid, text in QUERIES:
+        got = eng.run(text, k=k, algorithm="taat_maxscore")
+        want = oracle.topk(text, k=k)
+        assert_topk_equivalent(got, want, f"{qid} taat_maxscore k={k}")
