@@ -51,6 +51,11 @@ class AnalyzerConfig:
                 raise ValueError(f"unknown token filter {f!r}")
 
 
+# ASCII-only lowercase table: A-Z → a-z, every other codepoint untouched.
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+
+
 class TextAnalyzer:
     """Stateful analyzer; build once per actor, call per document/batch."""
 
@@ -68,10 +73,13 @@ class TextAnalyzer:
         if self.config.strip_html:
             text = html_to_text(text)
         if self._lower:
-            # Tokens are [a-zA-Z0-9'.]-class; lowering the whole text first
-            # is equivalent to lowering each token (ASCII classes are
-            # case-insensitively closed) and much faster.
-            text = text.lower()
+            # Lowercase only ASCII A-Z before tokenizing.  str.lower() on the
+            # whole text is NOT equivalent to the reference's
+            # tokenize-then-lowercase order for Unicode input ('İ' U+0130 →
+            # 'i'+combining dot, Kelvin U+212A → 'k' would mint tokens the
+            # ASCII tokenizer never emits); an ASCII-only translate commutes
+            # with the [a-zA-Z0-9]-class tokenizer and stays fast.
+            text = text.translate(_ASCII_LOWER)
         toks = self._tokenize(text)
         if self._stem:
             cache = self._stem_cache

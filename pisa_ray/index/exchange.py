@@ -77,13 +77,15 @@ def _exchange_map(files: List[str], terms_ref_box, doc_id_bits: int,
 
 @ray.remote
 def _exchange_reduce(part_idx: int, shard: int, out_dir: str, stats,
-                     term_stats_ref_box, config, *tables) -> Dict:
+                     term_stats_ref_box, config, cfg_hash: str,
+                     num_parts: int, *tables) -> Dict:
     """Concat one partition, sort by packed key, encode, write its file."""
     from pisa_ray.index.build import encode_segments_batch
 
     live = [t for t in tables if t.num_rows]
     if not live:
-        _write_part_manifest(out_dir, part_idx, rows=0, segments=0)
+        _write_part_manifest(out_dir, part_idx, cfg_hash=cfg_hash,
+                             num_parts=num_parts, rows=0, segments=0)
         return {"part": part_idx, "rows": 0, "segments": 0}
     tbl = pa.concat_tables(live)
     order = np.argsort(tbl["sort_key"].to_numpy(zero_copy_only=False),
@@ -97,7 +99,8 @@ def _exchange_reduce(part_idx: int, shard: int, out_dir: str, stats,
     encoded = encoded.drop_columns(["shard"])
     pq.write_table(encoded, os.path.join(shard_dir,
                                          f"part-{part_idx:05d}.parquet"))
-    _write_part_manifest(out_dir, part_idx, rows=tbl.num_rows,
+    _write_part_manifest(out_dir, part_idx, cfg_hash=cfg_hash,
+                         num_parts=num_parts, rows=tbl.num_rows,
                          segments=encoded.num_rows)
     return {"part": part_idx, "rows": tbl.num_rows,
             "segments": encoded.num_rows}
@@ -107,22 +110,64 @@ def _parts_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "index", "_parts")
 
 
-def _write_part_manifest(out_dir: str, part_idx: int, **info) -> None:
+def _write_part_manifest(out_dir: str, part_idx: int, *, cfg_hash: str,
+                         num_parts: int, **info) -> None:
     os.makedirs(_parts_dir(out_dir), exist_ok=True)
     p = os.path.join(_parts_dir(out_dir), f"part-{part_idx:05d}.json")
     tmp = p + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"complete": True, **info}, f)
+        json.dump({"complete": True, "config_hash": cfg_hash,
+                   "num_parts": num_parts, **info}, f)
     os.replace(tmp, p)
 
 
-def part_complete(out_dir: str, part_idx: int) -> bool:
+def part_complete(out_dir: str, part_idx: int, cfg_hash: str,
+                  num_parts: int) -> bool:
+    """A partition counts as done only if its manifest matches THIS build's
+    config hash and partition count — a rerun after a config change (codec
+    swap) or on a cluster with different CPU count must not splice stale
+    payloads or misaligned partition indices into the index."""
     p = os.path.join(_parts_dir(out_dir), f"part-{part_idx:05d}.json")
     try:
         with open(p) as f:
-            return json.load(f).get("complete", False)
+            m = json.load(f)
+        return (m.get("complete", False)
+                and m.get("config_hash") == cfg_hash
+                and m.get("num_parts") == num_parts)
     except (OSError, json.JSONDecodeError):
         return False
+
+
+def _exchange_plan_path(out_dir: str) -> str:
+    return os.path.join(_parts_dir(out_dir), "_PLAN.json")
+
+
+def load_or_pin_plan(out_dir: str, cfg_hash: str,
+                     doc_buckets: int) -> int:
+    """Pin doc_buckets across reruns: the first run records it; a resume
+    reuses the recorded value instead of re-deriving it from live cluster
+    resources (which would change P and misalign partition indices).
+    A config-hash mismatch wipes index/ entirely — old part files from a
+    different config must never coexist with new ones."""
+    plan_p = _exchange_plan_path(out_dir)
+    try:
+        with open(plan_p) as f:
+            plan = json.load(f)
+        if plan.get("config_hash") == cfg_hash:
+            return int(plan["doc_buckets"])
+    except (OSError, json.JSONDecodeError, KeyError):
+        pass
+    # no valid plan for this config → start the exchange from scratch
+    import shutil
+    idx_dir = os.path.join(out_dir, "index")
+    if os.path.exists(idx_dir):
+        shutil.rmtree(idx_dir)
+    os.makedirs(_parts_dir(out_dir), exist_ok=True)
+    tmp = plan_p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"config_hash": cfg_hash, "doc_buckets": doc_buckets}, f)
+    os.replace(tmp, plan_p)
+    return doc_buckets
 
 
 def run_exchange(fwd_files: List[str], out_dir: str, *, terms_ref,
@@ -135,6 +180,9 @@ def run_exchange(fwd_files: List[str], out_dir: str, *, terms_ref,
         # ≥2 reduce waves' worth of partitions per CPU keeps every core busy
         cpus = int(ray.cluster_resources().get("CPU", 8))
         doc_buckets = max(1, (4 * cpus) // max(1, term_buckets) + 1)
+    cfg_hash = config.config_hash()
+    # pin doc_buckets (and hence P) across reruns; wipe index/ on config change
+    doc_buckets = load_or_pin_plan(out_dir, cfg_hash, doc_buckets)
     P = term_buckets * doc_buckets
 
     groups = [fwd_files[i: i + files_per_map]
@@ -151,13 +199,13 @@ def run_exchange(fwd_files: List[str], out_dir: str, *, terms_ref,
     reduce_refs = []
     skipped = 0
     for p in range(P):
-        if resume and part_complete(out_dir, p):
+        if resume and part_complete(out_dir, p, cfg_hash, P):
             skipped += 1
             continue
         shard = p // doc_buckets  # term-range bucket is the major axis
         reduce_refs.append(_exchange_reduce.remote(
             p, shard, out_dir, stats, [term_stats_ref], config,
-            *[m[p] for m in per_map]))
+            cfg_hash, P, *[m[p] for m in per_map]))
     results = ray.get(reduce_refs)
     return {
         "partitions": P,

@@ -39,6 +39,12 @@ class QueryEngine:
                  analyzer: Optional[AnalyzerConfig] = None):
         self.index = InvertedIndex(index_dir)
         cfg = self.index.config
+        # A quantized index stores precomputed impacts, not term frequencies;
+        # scoring them with BM25 would be meaningless and inconsistent with
+        # the stored WAND/block-max metadata — default to the quantized
+        # scorer unless the caller explicitly overrides.
+        if scorer is None and int(cfg.get("quantize_bits") or 0) > 0:
+            scorer = "quantized"
         scorer_name = scorer or cfg.get("scorer", "bm25")
         dtype_name = score_dtype or cfg.get("score_dtype", "float32")
         dtype = np.float32 if dtype_name == "float32" else np.float64

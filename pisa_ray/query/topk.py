@@ -11,6 +11,14 @@ Mirrors ``/root/reference/include/pisa/topk_queue.hpp:19-139``:
 
 Divergence (documented): equal-score ties are ordered by ascending docid —
 deterministic — where the reference leaves heap order unspecified.
+
+Tie-eviction invariant: heap entries are stored as ``(score, -docid)`` so
+that among equal k-th scores the *largest* docid is the heap minimum and is
+evicted first.  This makes every heap-based algorithm implement exactly
+(score desc, docid asc), matching the lexsort preselection used by
+``ranked_or_taat`` / ``taat_maxscore`` — without the negation, a full heap
+with tied k-th scores would evict the smallest docid and the DAAT and TAAT
+families would return different top-k sets.
 """
 
 from __future__ import annotations
@@ -39,11 +47,11 @@ class TopKQueue:
         if not (score > self.effective_threshold):
             return False
         if len(self._heap) < self.k:
-            heapq.heappush(self._heap, (score, docid))
+            heapq.heappush(self._heap, (score, -docid))
             if len(self._heap) == self.k:
                 self.effective_threshold = self._heap[0][0]
         else:
-            heapq.heapreplace(self._heap, (score, docid))
+            heapq.heapreplace(self._heap, (score, -docid))
             self.effective_threshold = self._heap[0][0]
         return True
 
@@ -57,7 +65,8 @@ class TopKQueue:
         return self._heap[0][0] if len(self._heap) == self.k else 0.0
 
     def finalize(self) -> List[Tuple[float, int]]:
-        entries = sorted(self._heap, key=lambda e: (-e[0], e[1]))
+        entries = [(s, -nd) for s, nd in self._heap]
+        entries.sort(key=lambda e: (-e[0], e[1]))
         while entries and entries[-1][0] <= 0.0:
             entries.pop()
         self._final = entries
