@@ -36,8 +36,10 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # to dominate or Amdahl caps the efficiency.
 N_PAGES = int(os.environ.get("PISA_RAY_BENCH_PAGES", "100000"))
 # --scaling uses a larger corpus: the efficiency criterion needs parallel
-# compute to dominate the fixed per-job latencies (Amdahl)
-SCALING_PAGES = int(os.environ.get("PISA_RAY_SCALING_PAGES", "600000"))
+# compute to dominate the fixed per-job latencies (Amdahl) — 3M pages
+# (~219M postings) keeps the flat driver/job costs under ~3% of the
+# 8-CPU wall
+SCALING_PAGES = int(os.environ.get("PISA_RAY_SCALING_PAGES", "3000000"))
 # inversion exchange for the bench build: the explicit salted partition
 # exchange (fuses encode+write into reducers, per-partition resume) is the
 # scale path; "sort" selects the Dataset-native range shuffle

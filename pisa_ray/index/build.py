@@ -81,6 +81,10 @@ class IndexConfig:
     # Ray tasks (pisa_ray.index.exchange) — fuses encode+write into the
     # reducers and resumes at partition granularity.
     exchange: str = "sort"
+    # Target postings per partition of the "partition" exchange; 0 = the
+    # module default (env PISA_RAY_EXCHANGE_ROWS_PER_PART or 1M).  Partition
+    # count tracks data volume, not cluster size.
+    exchange_rows_per_part: int = 0
     # Packed sort key: the inversion shuffle sorts ONE u64 column
     # ((term_id << doc_id_bits) | doc_id) instead of a two-column key —
     # Ray's multi-key range partitioning falls off the vectorized path and
@@ -118,6 +122,15 @@ class IndexConfig:
         return hashlib.sha256(
             json.dumps(asdict(self), sort_keys=True, default=str).encode()
         ).hexdigest()[:16]
+
+
+def _parquet_row_count(files) -> Optional[int]:
+    """Total row count straight from parquet footers — no Ray job, no data
+    read.  Returns None if any file lacks usable metadata."""
+    try:
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None
 
 
 # ---------------------------------------------------------------------------
@@ -228,6 +241,63 @@ def analyze_count_tokens(batch: pa.Table, *, config: AnalyzerConfig,
                                     html_col, url_to_doc_ref)
         _ANALYZER_CACHE[key] = worker
     return worker(batch)
+
+
+def fused_analyze_write(batch: pa.Table, *, config: AnalyzerConfig,
+                        text_col: str, id_col, url_col, html_col,
+                        fwd_dir: Optional[str], url_to_doc_ref=None
+                        ) -> pa.Table:
+    """Fused stage 1: analyze a batch, write its forward-index block as a
+    resume checkpoint (side-effect), and return the token table — which
+    stays in the object store for the downstream partial-aggregate pass and
+    the inversion exchange, so neither re-reads the checkpoint from disk.
+
+    The fwd file name is a content hash of the batch's doc ids, so a
+    Ray-level task retry overwrites the same file (atomic tmp+rename)
+    instead of duplicating postings.
+    """
+    tokens = analyze_count_tokens(
+        batch, config=config, text_col=text_col, id_col=id_col,
+        url_col=url_col, html_col=html_col, url_to_doc_ref=url_to_doc_ref)
+    if fwd_dir is not None:
+        name = hashlib.sha1(
+            tokens["doc_id"].to_numpy(zero_copy_only=False).tobytes()
+            + str(batch.num_rows).encode()).hexdigest()[:20]
+        os.makedirs(fwd_dir, exist_ok=True)
+        tmp = os.path.join(fwd_dir, f".{name}.tmp")
+        pq.write_table(tokens, tmp)
+        os.replace(tmp, os.path.join(fwd_dir, f"part-{name}.parquet"))
+    return tokens
+
+
+def _partial_both(tokens: pa.Table) -> pa.Table:
+    """Per-block partial aggregates for BOTH small tables in one output.
+
+    Schema (union of two row kinds, split again by the driver):
+      kind int8 (0 = lexicon partial, 1 = doc size),
+      term string (null for sizes), v1 int64 (df_part | doc_id),
+      v2 int64 (occ_part | doc_len).
+    """
+    lex = _partial_term_stats(tokens)
+    # one (doc_id, doc_len) row per doc with ≥1 surviving token — identical
+    # to deriving sizes from the fwd rows (a doc appears in exactly one batch)
+    sz = pa.TableGroupBy(tokens.select(["doc_id", "doc_len"]),
+                         "doc_id").aggregate([("doc_len", "max")])
+    n_lex, n_sz = lex.num_rows, sz.num_rows
+    return pa.table({
+        "kind": pa.array(np.concatenate([
+            np.zeros(n_lex, dtype=np.int8),
+            np.ones(n_sz, dtype=np.int8)])),
+        "term": pa.concat_arrays([
+            lex["term"].combine_chunks().cast(pa.string()),
+            pa.nulls(n_sz, pa.string())]),
+        "v1": pa.concat_arrays([
+            lex["df_part"].combine_chunks().cast(pa.int64()),
+            sz.column("doc_id").combine_chunks().cast(pa.int64())]),
+        "v2": pa.concat_arrays([
+            lex["occ_part"].combine_chunks().cast(pa.int64()),
+            sz.column("doc_len_max").combine_chunks().cast(pa.int64())]),
+    })
 
 
 # ---------------------------------------------------------------------------
@@ -463,12 +533,11 @@ def build_index(
                 src_files = corpus.input_files()
             except Exception:
                 src_files = []
-            if src_files:
-                url_ds = ray.data.read_parquet(src_files, columns=[url_col])
-            else:
-                url_ds = corpus.select_columns([url_col])
-            urls = url_ds.to_pandas()
-            if len(urls) > 50_000_000:
+            approx_rows = _parquet_row_count(src_files) if src_files else None
+            if approx_rows is not None and approx_rows > 50_000_000 or (
+                    approx_rows is None and corpus.count() > 50_000_000):
+                # distributed path: sort+rank stays in the cluster; tokens
+                # get their docids via a hash join on url downstream
                 docmap = sorted_with_rank(
                     corpus.select_columns([url_col]), url_col, "doc_id",
                     pa.uint64())
@@ -479,12 +548,19 @@ def build_index(
                      for f in sorted(os.listdir(paths["docmap"]))
                      if f.endswith(".parquet")])
             else:
-                # sort with Arrow's C kernel; the doc_id of row i in the
-                # SORTED table is simply i, so the docmap stores sorted
-                # urls + arange (no python-object conversions on the driver)
-                u_col = pa.Table.from_pandas(urls)[url_col].combine_chunks()
-                order = pc.sort_indices(u_col)
-                sorted_urls_arr = pc.take(u_col, order)
+                # driver fast path: read the url column straight off the
+                # parquet footers (multithreaded C reads, no Ray job), sort
+                # with Arrow's C kernel; doc_id of row i in the SORTED
+                # table is simply i
+                if src_files:
+                    u_col = pa.concat_tables(
+                        [pq.read_table(f, columns=[url_col])
+                         for f in src_files])[url_col].combine_chunks()
+                else:
+                    u_col = pa.concat_tables(
+                        ray.get(corpus.select_columns([url_col])
+                                .to_arrow_refs()))[url_col].combine_chunks()
+                sorted_urls_arr = pc.take(u_col, pc.sort_indices(u_col))
                 n = len(sorted_urls_arr)
                 dm = pa.table({url_col: sorted_urls_arr,
                                "doc_id": pa.array(
@@ -503,99 +579,132 @@ def build_index(
         dm_sorted = dm.sort_by("doc_id")
         url_to_doc_ref = ray.put(dm_sorted[url_col].combine_chunks())
     else:
-        num_docs = corpus.count()
+        src_files = []
+        try:
+            src_files = corpus.input_files()
+        except Exception:
+            src_files = []
+        num_docs = (_parquet_row_count(src_files) if src_files else None)
+        if num_docs is None:
+            num_docs = corpus.count()
 
     _trace("docids done")
-    # -- stage: fwd (analyze + count) --------------------------------------
-    if not (resume and stage_complete(paths["fwd"], cfg_hash)):
-        fwd = corpus.map_batches(
-            analyze_count_tokens,
-            fn_kwargs={"config": config.analyzer_config(),
+    analyzer_kwargs = {"config": config.analyzer_config(),
                        "text_col": text_col, "id_col": id_col,
                        "url_col": url_col, "html_col": html_col,
-                       "url_to_doc_ref": url_to_doc_ref},
+                       "url_to_doc_ref": url_to_doc_ref}
+    stage1_done = all(
+        resume and stage_complete(paths[s], cfg_hash)
+        for s in ("fwd", "sizes", "lexicon"))
+    tokens_md = None  # materialized token dataset (plasma blocks)
+    if config.small_tables_on_driver and not stage1_done:
+        # -- FUSED stage 1: ONE pass over the corpus produces (a) the token
+        # dataset, materialized in the object store for every downstream
+        # consumer (partial aggregates, inversion exchange) and (b) fwd
+        # parquet checkpoint blocks as side-effect writes for resume.  No
+        # stage re-reads the checkpoint from disk in the happy path.
+        for s in ("fwd", "sizes", "lexicon"):
+            _fresh_stage_dir(paths[s])
+        tokens_md = corpus.map_batches(
+            fused_analyze_write,
+            fn_kwargs={**analyzer_kwargs, "fwd_dir": paths["fwd"]},
             batch_format="pyarrow",
-            batch_size=analyzer_batch_size,
-        )
-        _trace("fwd: writing")
-        fwd.write_parquet(_fresh_stage_dir(paths["fwd"]))
+            batch_size=analyzer_batch_size).materialize()
         write_manifest(paths["fwd"], cfg_hash)
-    _trace("fwd done")
+        _trace("fused analyze done")
+        # partial aggregates over the in-memory token blocks, coalesced to
+        # ~1M-row batches (few tasks, vocab-sized outputs); finalized on the
+        # driver with Arrow's C groupby/sort kernels (pandas is ~10× slower
+        # at the multi-million-row drain).  Safe to coalesce: the driver
+        # groupbys below dedupe a doc or term split across batch boundaries.
+        ptab = pa.concat_tables(ray.get(
+            tokens_md.map_batches(
+                _partial_both, batch_format="pyarrow",
+                batch_size=1 << 20).to_arrow_refs()))
+        _trace("partials done")
 
-    # -- stage: sizes (doc-length table; prune to 2 columns at the read) ----
-    if not (resume and stage_complete(paths["sizes"], cfg_hash)):
-        def _partial_sizes(t: pa.Table) -> pa.Table:
-            g = pa.TableGroupBy(t, "doc_id").aggregate([("doc_len", "max")])
-            return pa.table({"doc_id": g.column("doc_id"),
-                             "doc_len": g.column("doc_len_max")})
+        sz = ptab.filter(pc.equal(ptab["kind"], 1))
+        sz = pa.TableGroupBy(sz.select(["v1", "v2"]), "v1").aggregate(
+            [("v2", "max")])
+        sz = sz.take(pc.sort_indices(sz["v1"]))
+        os.makedirs(paths["sizes"], exist_ok=True)
+        pq.write_table(
+            pa.table({"doc_id": sz["v1"].cast(pa.uint64()),
+                      "doc_len": sz["v2_max"].cast(pa.uint32())}),
+            os.path.join(paths["sizes"], "part-00000.parquet"))
+        write_manifest(paths["sizes"], cfg_hash)
 
-        partial_sizes = (
-            ray.data.read_parquet(paths["fwd"], columns=["doc_id", "doc_len"])
-            .map_batches(_partial_sizes, batch_format="pyarrow")
-        )
-        _trace("sizes: writing")
-        if config.small_tables_on_driver:
-            sp = (partial_sizes.to_pandas()
-                  .groupby("doc_id", as_index=False)["doc_len"].max())
-            _fresh_stage_dir(paths["sizes"])
-            os.makedirs(paths["sizes"], exist_ok=True)
-            pq.write_table(
-                pa.table({"doc_id": pa.array(sp["doc_id"], type=pa.uint64()),
-                          "doc_len": pa.array(sp["doc_len"], type=pa.uint32())}),
-                os.path.join(paths["sizes"], "part-00000.parquet"))
-        else:
+        lx = ptab.filter(pc.equal(ptab["kind"], 0))
+        lx = pa.TableGroupBy(lx.select(["term", "v1", "v2"]),
+                             "term").aggregate([("v1", "sum"), ("v2", "sum")])
+        lx = lx.take(pc.sort_indices(lx["term"]))
+        lex_out = pa.table({
+            "term": lx["term"].cast(pa.string()),
+            "df": lx["v1_sum"].cast(pa.int64()),
+            "occ": lx["v2_sum"].cast(pa.int64()),
+            "term_id": pa.array(np.arange(lx.num_rows, dtype=np.uint32),
+                                type=pa.uint32()),
+        })
+        os.makedirs(paths["lexicon"], exist_ok=True)
+        pq.write_table(lex_out, os.path.join(paths["lexicon"],
+                                             "part-00000.parquet"))
+        write_manifest(paths["lexicon"], cfg_hash)
+    elif not stage1_done:
+        # -- distributed stage path (vocab / doc count beyond driver memory):
+        # separate resumable stages, groupby shuffles for the small tables.
+        if not (resume and stage_complete(paths["fwd"], cfg_hash)):
+            fwd = corpus.map_batches(
+                analyze_count_tokens,
+                fn_kwargs=analyzer_kwargs,
+                batch_format="pyarrow",
+                batch_size=analyzer_batch_size,
+            )
+            _trace("fwd: writing")
+            fwd.write_parquet(_fresh_stage_dir(paths["fwd"]))
+            write_manifest(paths["fwd"], cfg_hash)
+        _trace("fwd done")
+
+        if not (resume and stage_complete(paths["sizes"], cfg_hash)):
+            def _partial_sizes(t: pa.Table) -> pa.Table:
+                g = pa.TableGroupBy(t, "doc_id").aggregate(
+                    [("doc_len", "max")])
+                return pa.table({"doc_id": g.column("doc_id"),
+                                 "doc_len": g.column("doc_len_max")})
+
             sizes = (
-                partial_sizes.groupby("doc_id").max("doc_len")
+                ray.data.read_parquet(paths["fwd"],
+                                      columns=["doc_id", "doc_len"])
+                .map_batches(_partial_sizes, batch_format="pyarrow")
+                .groupby("doc_id").max("doc_len")
                 .map_batches(
                     lambda t: pa.table({"doc_id": t.column("doc_id"),
                                         "doc_len": t.column("max(doc_len)")}),
                     batch_format="pyarrow")
             )
             sizes.write_parquet(_fresh_stage_dir(paths["sizes"]))
-        write_manifest(paths["sizes"], cfg_hash)
+            write_manifest(paths["sizes"], cfg_hash)
 
-    _trace("sizes done")
-    # -- stage: lexicon -----------------------------------------------------
-    if not (resume and stage_complete(paths["lexicon"], cfg_hash)):
-        def _merge_partials(t: pa.Table) -> pa.Table:
-            g = pa.TableGroupBy(t, "term").aggregate(
-                [("df_part", "sum"), ("occ_part", "sum")])
-            return pa.table({"term": g.column("term"),
-                             "df_part": g.column("df_part_sum"),
-                             "occ_part": g.column("occ_part_sum")})
-
-        partials = (
-            ray.data.read_parquet(paths["fwd"], columns=["term", "tf"])
-            .map_batches(_partial_term_stats, batch_format="pyarrow")
-            # tree step: merge many per-block partials into few, so the
-            # driver drain is ~vocab-sized, not vocab × num_blocks
-            .map_batches(_merge_partials, batch_format="pyarrow",
-                         batch_size=1 << 20)
-        )
-        if config.small_tables_on_driver:
-            # drain per-block partials (≤ vocab rows per block) and finish
-            # on the driver: one job, no shuffle
-            agg_pd = (partials.to_pandas()
-                      .groupby("term", as_index=False)
-                      .agg({"df_part": "sum", "occ_part": "sum"})
-                      .rename(columns={"df_part": "sum(df_part)",
-                                       "occ_part": "sum(occ_part)"}))
-        else:
-            agg_pd = partials.groupby("term").sum(
-                ["df_part", "occ_part"]).to_pandas()
-        agg_pd = agg_pd.sort_values("term", kind="stable").reset_index(drop=True)
-        lex_out = pa.table({
-            "term": pa.array(agg_pd["term"], type=pa.string()),
-            "df": pa.array(agg_pd["sum(df_part)"], type=pa.int64()),
-            "occ": pa.array(agg_pd["sum(occ_part)"], type=pa.int64()),
-            "term_id": pa.array(np.arange(len(agg_pd), dtype=np.uint32),
-                                type=pa.uint32()),
-        })
-        _fresh_stage_dir(paths["lexicon"])
-        os.makedirs(paths["lexicon"], exist_ok=True)
-        pq.write_table(lex_out, os.path.join(paths["lexicon"],
-                                             "part-00000.parquet"))
-        write_manifest(paths["lexicon"], cfg_hash)
+        _trace("sizes done")
+        if not (resume and stage_complete(paths["lexicon"], cfg_hash)):
+            agg_pd = (
+                ray.data.read_parquet(paths["fwd"], columns=["term", "tf"])
+                .map_batches(_partial_term_stats, batch_format="pyarrow")
+                .groupby("term").sum(["df_part", "occ_part"])
+                .to_pandas())
+            agg_pd = agg_pd.sort_values(
+                "term", kind="stable").reset_index(drop=True)
+            lex_out = pa.table({
+                "term": pa.array(agg_pd["term"], type=pa.string()),
+                "df": pa.array(agg_pd["sum(df_part)"], type=pa.int64()),
+                "occ": pa.array(agg_pd["sum(occ_part)"], type=pa.int64()),
+                "term_id": pa.array(np.arange(len(agg_pd), dtype=np.uint32),
+                                    type=pa.uint32()),
+            })
+            _fresh_stage_dir(paths["lexicon"])
+            os.makedirs(paths["lexicon"], exist_ok=True)
+            pq.write_table(lex_out, os.path.join(paths["lexicon"],
+                                                 "part-00000.parquet"))
+            write_manifest(paths["lexicon"], cfg_hash)
     lex_table = pa.concat_tables(
         [pq.read_table(os.path.join(paths["lexicon"], f))
          for f in sorted(os.listdir(paths["lexicon"])) if f.endswith(".parquet")]
@@ -613,7 +722,10 @@ def build_index(
         json.dump(asdict(stats), f)
 
     _trace("lexicon+stats done")
-    fwd = ray.data.read_parquet(paths["fwd"])
+    # consume the in-memory token blocks when stage 1 just ran; fall back to
+    # the fwd parquet checkpoint on resume
+    fwd = tokens_md if tokens_md is not None \
+        else ray.data.read_parquet(paths["fwd"])
     # -- stage: encode ------------------------------------------------------
     if not (resume and stage_complete(paths["index"], cfg_hash)):
         terms_ref = ray.put(lex_table["term"].combine_chunks())
@@ -640,7 +752,7 @@ def build_index(
                     mx = max(mx, float(ts_fn(tfs_np[m], dls[m]).max()))
                 return pa.table({"mx": pa.array([mx], type=pa.float64())})
 
-            gmax = (ray.data.read_parquet(paths["fwd"])
+            gmax = (fwd
                     .map_batches(_batch_max, batch_format="pyarrow")
                     .max("mx"))
             max_score_ref = ray.put(float(gmax))
@@ -649,13 +761,27 @@ def build_index(
 
             from pisa_ray.index.exchange import run_exchange
 
-            fwd_files = sorted(_glob.glob(os.path.join(paths["fwd"],
-                                                       "*.parquet")))
+            if tokens_md is not None:
+                # exchange straight over the materialized plasma blocks —
+                # zero-copy reads, no checkpoint decode
+                fwd_input = [block_ref
+                             for bundle in
+                             tokens_md.iter_internal_ref_bundles()
+                             for block_ref, _meta in bundle.blocks]
+            else:
+                fwd_input = sorted(_glob.glob(os.path.join(paths["fwd"],
+                                                           "*.parquet")))
+            # posting mass per term bucket, straight off the lexicon —
+            # drives the skew-proportional partition plan
+            tb = (np.arange(num_terms, dtype=np.int64)
+                  * config.num_shards // max(1, num_terms))
+            bucket_occ = np.bincount(tb, weights=occ_np.astype(np.float64),
+                                     minlength=config.num_shards)
             info = run_exchange(
-                fwd_files, out_dir, terms_ref=terms_ref,
+                fwd_input, out_dir, terms_ref=terms_ref,
                 term_stats_ref=term_stats_ref, stats=stats, config=config,
                 num_terms=int(num_terms), num_docs=int(num_docs),
-                resume=resume)
+                bucket_occ=bucket_occ, resume=resume)
             _trace(f"encode done (partition exchange: {info})")
             write_manifest(paths["index"], cfg_hash, num_terms=int(num_terms),
                            num_shards=config.num_shards, **info)

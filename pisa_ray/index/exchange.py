@@ -40,20 +40,32 @@ import ray
 
 
 def _partition_ids(term_ids: np.ndarray, doc_ids: np.ndarray,
-                   num_terms: int, num_docs: int,
-                   term_buckets: int, doc_buckets: int) -> np.ndarray:
+                   num_terms: int, num_docs: int, term_buckets: int,
+                   db_arr: np.ndarray, db_off: np.ndarray) -> np.ndarray:
+    """Partition id per posting.  ``db_arr[b]`` = number of doc-range salts
+    for term bucket ``b``, sized ∝ the bucket's posting mass so a
+    stopword-heavy bucket splits into more partitions (skew-proportional
+    salting, SURVEY §4); ``db_off`` is its exclusive prefix sum."""
     tb = (term_ids.astype(np.uint64) * term_buckets // max(1, num_terms))
-    salt = (doc_ids.astype(np.uint64) * doc_buckets // max(1, num_docs))
-    return (tb * doc_buckets + salt).astype(np.int64)
+    salt = (doc_ids.astype(np.uint64) * db_arr[tb] // max(1, num_docs))
+    return (db_off[tb] + salt).astype(np.int64)
 
 
 @ray.remote
-def _exchange_map(files: List[str], terms_ref_box, doc_id_bits: int,
+def _exchange_map(files: List, terms_ref_box, doc_id_bits: int,
                   num_terms: int, num_docs: int,
-                  term_buckets: int, doc_buckets: int) -> List[pa.Table]:
-    """Read fwd files → remap term ids → scatter to P partition tables."""
-    P = term_buckets * doc_buckets
-    tbl = pa.concat_tables([pq.read_table(f) for f in files])
+                  term_buckets: int, db_arr: np.ndarray,
+                  db_off: np.ndarray) -> List[pa.Table]:
+    """Read fwd blocks → remap term ids → scatter to P partition tables.
+
+    ``files`` is either parquet paths (resume from the fwd checkpoint) or
+    boxed ObjectRefs of token tables (zero-copy plasma reads when the
+    analyze stage just ran in this process)."""
+    P = int(db_off[-1] + db_arr[-1])
+    if files and isinstance(files[0], str):
+        tbl = pa.concat_tables([pq.read_table(f) for f in files])
+    else:
+        tbl = pa.concat_tables(ray.get(list(files)))
     # refs are boxed in a list so Ray doesn't auto-deref them per task;
     # fetched once per worker via the plasma cache
     terms = ray.get(terms_ref_box[0])
@@ -61,18 +73,29 @@ def _exchange_map(files: List[str], terms_ref_box, doc_id_bits: int,
     tid = ids.to_numpy(zero_copy_only=False).astype(np.uint64)
     did = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
     key = (tid << np.uint64(doc_id_bits)) | did
-    out = pa.table({
-        "sort_key": pa.array(key, type=pa.uint64()),
-        "tf": tbl["tf"],
-        "doc_len": tbl["doc_len"],
-    })
     parts = _partition_ids(tid, did, num_terms, num_docs,
-                           term_buckets, doc_buckets)
+                           term_buckets, db_arr, db_off)
     order = np.argsort(parts, kind="stable")
-    sorted_tbl = out.take(pa.array(order))
+    # Gather ONCE into numpy, then build each partition table from numpy
+    # views.  NEVER return pyarrow Table.slice() views here: pickling a
+    # sliced Table serializes the FULL parent buffers, turning the map
+    # output into P × table-size (measured: a 1k-row slice of a 1M-row
+    # table pickles to 12 MB).  A pa.array wrapping a numpy view
+    # serializes only the view's bytes.
+    key_s = key[order]
+    tf_s = tbl["tf"].to_numpy(zero_copy_only=False).astype(
+        np.uint32, copy=False)[order]
+    dl_s = tbl["doc_len"].to_numpy(zero_copy_only=False).astype(
+        np.uint32, copy=False)[order]
     bounds = np.searchsorted(parts[order], np.arange(P + 1))
-    return [sorted_tbl.slice(int(bounds[p]), int(bounds[p + 1] - bounds[p]))
-            for p in range(P)]
+    return [pa.table({
+        "sort_key": pa.array(key_s[int(bounds[p]):int(bounds[p + 1])],
+                             type=pa.uint64()),
+        "tf": pa.array(tf_s[int(bounds[p]):int(bounds[p + 1])],
+                       type=pa.uint32()),
+        "doc_len": pa.array(dl_s[int(bounds[p]):int(bounds[p + 1])],
+                            type=pa.uint32()),
+    }) for p in range(P)]
 
 
 @ray.remote
@@ -143,18 +166,18 @@ def _exchange_plan_path(out_dir: str) -> str:
 
 
 def load_or_pin_plan(out_dir: str, cfg_hash: str,
-                     doc_buckets: int) -> int:
-    """Pin doc_buckets across reruns: the first run records it; a resume
-    reuses the recorded value instead of re-deriving it from live cluster
-    resources (which would change P and misalign partition indices).
-    A config-hash mismatch wipes index/ entirely — old part files from a
-    different config must never coexist with new ones."""
+                     db_arr: List[int]) -> List[int]:
+    """Pin the per-bucket salt counts across reruns: the first run records
+    them; a resume reuses the recorded plan instead of re-deriving it from
+    live cluster state (which would change P and misalign partition
+    indices).  A config-hash mismatch wipes index/ entirely — old part
+    files from a different config must never coexist with new ones."""
     plan_p = _exchange_plan_path(out_dir)
     try:
         with open(plan_p) as f:
             plan = json.load(f)
         if plan.get("config_hash") == cfg_hash:
-            return int(plan["doc_buckets"])
+            return [int(x) for x in plan["doc_buckets"]]
     except (OSError, json.JSONDecodeError, KeyError):
         pass
     # no valid plan for this config → start the exchange from scratch
@@ -165,32 +188,71 @@ def load_or_pin_plan(out_dir: str, cfg_hash: str,
     os.makedirs(_parts_dir(out_dir), exist_ok=True)
     tmp = plan_p + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"config_hash": cfg_hash, "doc_buckets": doc_buckets}, f)
+        json.dump({"config_hash": cfg_hash, "doc_buckets": list(db_arr)}, f)
     os.replace(tmp, plan_p)
-    return doc_buckets
+    return list(db_arr)
+
+
+# target postings per reduce partition: large enough that per-partition
+# task/object overhead amortizes (the map fans out M × P plasma objects),
+# small enough that one partition's rows × 16 B fits comfortably in a
+# worker heap (3M × 16 B ≈ 50 MB).  Independent of cluster size —
+# partition COUNT tracks data volume, so the same corpus produces the same
+# partition layout at any parallelism (and reduce work scales with CPUs).
+ROWS_PER_PARTITION = int(os.environ.get("PISA_RAY_EXCHANGE_ROWS_PER_PART",
+                                        3_000_000))
+
+
+def plan_buckets(config, num_terms: int, bucket_occ: np.ndarray) -> List[int]:
+    """Per-term-bucket salt counts ∝ that bucket's posting mass."""
+    target = getattr(config, "exchange_rows_per_part", 0) or ROWS_PER_PARTITION
+    return [max(1, int(round(occ / target))) for occ in bucket_occ]
 
 
 def run_exchange(fwd_files: List[str], out_dir: str, *, terms_ref,
                  term_stats_ref, stats, config, num_terms: int,
-                 num_docs: int, doc_buckets: Optional[int] = None,
-                 files_per_map: int = 1, resume: bool = True) -> Dict:
-    """Full map→reduce inversion exchange.  Returns counts."""
-    term_buckets = config.num_shards
-    if doc_buckets is None:
-        # ≥2 reduce waves' worth of partitions per CPU keeps every core busy
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        doc_buckets = max(1, (4 * cpus) // max(1, term_buckets) + 1)
-    cfg_hash = config.config_hash()
-    # pin doc_buckets (and hence P) across reruns; wipe index/ on config change
-    doc_buckets = load_or_pin_plan(out_dir, cfg_hash, doc_buckets)
-    P = term_buckets * doc_buckets
+                 num_docs: int, bucket_occ: Optional[np.ndarray] = None,
+                 files_per_map: Optional[int] = None,
+                 resume: bool = True) -> Dict:
+    """Full map→reduce inversion exchange.  Returns counts.
 
+    ``bucket_occ[b]`` = total postings whose term falls in term bucket b
+    (computed from the lexicon, free).  Partition count follows DATA volume
+    (ROWS_PER_PARTITION), not cluster size — running the same corpus at 8
+    or 32 CPUs yields the identical partition layout, and each partition is
+    ~equal-sized regardless of term skew."""
+    term_buckets = config.num_shards
+    if bucket_occ is None:
+        bucket_occ = np.full(term_buckets,
+                             max(1, num_docs * 100 // max(1, term_buckets)))
+    db_list = plan_buckets(config, num_terms, np.asarray(bucket_occ))
+    cfg_hash = config.config_hash()
+    # pin the plan (and hence P) across reruns; wipe index/ on config change
+    db_list = load_or_pin_plan(out_dir, cfg_hash, db_list)
+    db_arr = np.asarray(db_list, dtype=np.uint64)
+    db_off = np.concatenate(([0], np.cumsum(db_arr)[:-1])).astype(np.uint64)
+    P = int(db_arr.sum())
+    # shard (term bucket) for each partition index
+    part_shard = np.repeat(np.arange(term_buckets), db_list)
+
+    import time as _time
+    _trace = (lambda m: print(f"[exchange {_time.time() % 1000:.1f}] {m}",
+                              flush=True)) \
+        if os.environ.get("PISA_RAY_TRACE") else (lambda m: None)
+
+    if files_per_map is None:
+        # ONE map wave across the cluster: the map side fans out M × P
+        # plasma objects and every reduce task fetches M of them, so M is
+        # the object-count multiplier — keep it at the CPU count
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        files_per_map = max(1, -(-len(fwd_files) // cpus))
     groups = [fwd_files[i: i + files_per_map]
               for i in range(0, len(fwd_files), files_per_map)]
+    _trace(f"map: {len(groups)} tasks x {P} partitions")
     map_refs = [
         _exchange_map.options(num_returns=P).remote(
             g, [terms_ref], config.doc_id_bits, num_terms, num_docs,
-            term_buckets, doc_buckets)
+            term_buckets, db_arr, db_off)
         for g in groups
     ]
     # normalize: with num_returns=P each entry is a list of P refs
@@ -202,11 +264,16 @@ def run_exchange(fwd_files: List[str], out_dir: str, *, terms_ref,
         if resume and part_complete(out_dir, p, cfg_hash, P):
             skipped += 1
             continue
-        shard = p // doc_buckets  # term-range bucket is the major axis
         reduce_refs.append(_exchange_reduce.remote(
-            p, shard, out_dir, stats, [term_stats_ref], config,
+            p, int(part_shard[p]), out_dir, stats, [term_stats_ref], config,
             cfg_hash, P, *[m[p] for m in per_map]))
+    if os.environ.get("PISA_RAY_TRACE"):
+        # wait on ONE ref per map task — cheap proxy for the map wall
+        ray.wait([m[0] for m in per_map], num_returns=len(per_map),
+                 fetch_local=False)
+        _trace("map done")
     results = ray.get(reduce_refs)
+    _trace("reduce done")
     return {
         "partitions": P,
         "skipped": skipped,

@@ -151,9 +151,11 @@ def test_partition_exchange_matches_sort(built, ray_session, tmp_path):
         "text": pa.array(texts, type=pa.string()),
     }))
     out = str(tmp_path / "pex")
+    # tiny rows-per-partition target forces multiple doc-range salts even
+    # at test scale (the plan is data-proportional: P tracks volume)
     build_index(corpus, out,
                 config=IndexConfig(num_shards=3, exchange="partition",
-                                   block_size=16))
+                                   block_size=16, exchange_rows_per_part=50))
     idx = InvertedIndex(out)
     for tid, plist in oracle.postings.items():
         pl = idx.posting_list(tid)
@@ -174,7 +176,8 @@ def test_partition_exchange_matches_sort(built, ray_session, tmp_path):
         if False else None
     info2 = bi(corpus, out,
                config=IndexConfig(num_shards=3, exchange="partition",
-                                  block_size=16), resume=True)
+                                  block_size=16, exchange_rows_per_part=50),
+               resume=True)
     assert info2["num_terms"] == len(oracle.lexicon)
 
 
