@@ -528,6 +528,20 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_pairs(_docs_ds(sf_dir), max_hamming=6)
 
 
+def q_minhash_jaccard_dups(sf_dir: str):
+    from pisa_ray.ops.dedup import minhash_jaccard_dups
+
+    return minhash_jaccard_dups(_docs_ds(sf_dir), threshold=0.9)
+
+
+# Exact-oracle check for the MinHash-LSH path: candidates from banding,
+# verified with EXACT n-gram Jaccard >= 0.9 against the document text.
+# With bands=16 x rows=4 the probability a jacc>=0.9 pair misses every band
+# is ~4e-8, so the output equals the exhaustive SQL pair set w.h.p.
+SQL_MINHASH_JACCARD_DUPS = SQL_NGRAM_PAIRS.replace(
+    ">= 0.1", ">= 0.9")
+
+
 def q_lang_id(sf_dir: str):
     from pisa_ray.ops.textstats import lang_id
 
@@ -753,6 +767,7 @@ QUERIES: Dict[str, Callable] = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_pairs": q_ngram_pairs,
     "minhash_lsh_pairs": q_minhash_pairs,
+    "minhash_jaccard_dups": q_minhash_jaccard_dups,
     "simhash_pairs": q_simhash_pairs,
     "lang_id": q_lang_id,
     "quality_scores": q_quality,
@@ -779,6 +794,7 @@ ORACLE_SQL: Dict[str, str] = {
     "quantized_postings": SQL_QUANTIZED_POSTINGS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "ngram_jaccard_pairs": SQL_NGRAM_PAIRS,
+    "minhash_jaccard_dups": SQL_MINHASH_JACCARD_DUPS,
     "lang_id": SQL_LANG_ID,
     "quality_scores": SQL_QUALITY,
     "token_counts": SQL_TOKEN_COUNTS,

@@ -56,9 +56,45 @@ class PostingList:
                 yield seg, b
 
 
+class DocLens:
+    """Doc-length lookup backed by only a [lo, hi) slice of the collection.
+
+    Supports scalar and vectorized fancy indexing (``doc_lens[doc_array]``)
+    like the dense array it replaces; ``len()`` reports the GLOBAL doc
+    count (dense TAAT accumulators use it, and TAAT runs unsharded).  This
+    is what makes doc-sharded serving actually sharded: per-actor memory
+    for sizes is (hi-lo), not num_docs."""
+
+    __slots__ = ("arr", "lo", "num_docs")
+
+    def __init__(self, arr: np.ndarray, lo: int, num_docs: int):
+        self.arr = arr
+        self.lo = lo
+        self.num_docs = num_docs
+
+    def __getitem__(self, doc):
+        # segments overlapping the shard boundary decode whole blocks, so
+        # cursors score some docids outside [lo, hi); those scores are
+        # discarded by the range-bound cursor, so a clipped neighbor length
+        # is fine — never an IndexError
+        idx = np.clip(np.asarray(doc, dtype=np.int64) - self.lo,
+                      0, max(0, len(self.arr) - 1))
+        return self.arr[idx]
+
+    def __len__(self) -> int:
+        return self.num_docs
+
+
 class InvertedIndex:
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, doc_range=None):
+        """``doc_range=(lo, hi)`` restricts loading to segments whose docid
+        range overlaps [lo, hi) (parquet row-group predicate pushdown on
+        first_doc/last_doc statistics) and to the matching rows of the
+        sizes table — the per-shard locality of the reference's per-shard
+        mmap (``src/sharding.cpp:146-268``).  The lexicon stays global
+        (O(vocab), shared by every shard)."""
         self.out_dir = out_dir
+        self.doc_range = doc_range
         with open(os.path.join(out_dir, "stats.json")) as f:
             s = json.load(f)
         self.stats = CollectionStats(**s)
@@ -75,14 +111,29 @@ class InvertedIndex:
         self.num_terms = len(self.terms)
 
         size_files = sorted(glob.glob(os.path.join(out_dir, "sizes", "*.parquet")))
-        st = pa.concat_tables([pq.read_table(f) for f in size_files])
-        self.doc_lens = np.zeros(self.stats.num_docs, dtype=np.uint32)
-        ids = st["doc_id"].to_numpy().astype(np.int64)
-        self.doc_lens[ids] = st["doc_len"].to_numpy().astype(np.uint32)
+        if doc_range is not None:
+            lo, hi = int(doc_range[0]), int(doc_range[1])
+            sflt = [("doc_id", ">=", lo), ("doc_id", "<", hi)]
+            st = pa.concat_tables(
+                [pq.read_table(f, filters=sflt) for f in size_files])
+            arr = np.zeros(max(0, hi - lo), dtype=np.uint32)
+            ids = st["doc_id"].to_numpy().astype(np.int64) - lo
+            arr[ids] = st["doc_len"].to_numpy().astype(np.uint32)
+            self.doc_lens = DocLens(arr, lo, self.stats.num_docs)
+        else:
+            st = pa.concat_tables([pq.read_table(f) for f in size_files])
+            self.doc_lens = np.zeros(self.stats.num_docs, dtype=np.uint32)
+            ids = st["doc_id"].to_numpy().astype(np.int64)
+            self.doc_lens[ids] = st["doc_len"].to_numpy().astype(np.uint32)
 
         idx_files = sorted(glob.glob(
             os.path.join(out_dir, "index", "**", "*.parquet"), recursive=True))
-        tables = [pq.read_table(f) for f in idx_files]
+        if doc_range is not None:
+            iflt = [("last_doc", ">=", int(doc_range[0])),
+                    ("first_doc", "<", int(doc_range[1]))]
+            tables = [pq.read_table(f, filters=iflt) for f in idx_files]
+        else:
+            tables = [pq.read_table(f) for f in idx_files]
         idx = pa.concat_tables(tables, promote_options="permissive") if tables else None
         self._segments: Dict[int, List[SegmentView]] = {}
         if idx is not None and idx.num_rows:

@@ -10,16 +10,19 @@ Large-scale training-data pipeline primitives, all expressed Ray-Data-first:
 * SimHash                — 64-bit fingerprints → banded buckets →
                            Hamming-verified near-dup pairs
 
-All hashing is seed-stable (blake2b-derived), never Python ``hash()``
-(PYTHONHASHSEED would break determinism across workers).  The reference
-engine has no near-dup machinery (SURVEY §2.8) — these extend it with the
-dedup stack a 100 TB web-text pipeline needs.
+All hashing is vectorized (polars' xxhash64 over whole columns — no
+per-string Python loops) and seed-stable, never Python ``hash()``
+(PYTHONHASHSEED would break determinism across workers).  No pipeline here
+materializes a whole-dataset structure on the driver: candidate-pair
+verification joins pairs against the signature/document dataset instead of
+broadcasting a signature matrix (the broadcast dies at ~10^9 docs).  The
+reference engine has no near-dup machinery (SURVEY §2.8) — these extend it
+with the dedup stack a 100 TB web-text pipeline needs.
 """
 
 from __future__ import annotations
 
-import hashlib
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 import pyarrow as pa
@@ -27,23 +30,33 @@ import pyarrow.compute as pc
 
 from pisa_ray.utils import round_half_away
 
+# join fan-out used by the pair-verification joins; at real scale size this
+# to the cluster (it only affects the internal shuffle granularity)
+JOIN_PARTITIONS = 8
+
 
 # ---------------------------------------------------------------------------
-# stable hashing
+# stable vectorized hashing
 
-def _stable_u64(values: List[str]) -> np.ndarray:
-    """blake2b-based stable 64-bit hashes of strings."""
-    out = np.empty(len(values), dtype=np.uint64)
-    for i, v in enumerate(values):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(v.encode("utf-8"), digest_size=8).digest(), "little")
-    return out
+def _stable_u64_column(values, seed: int = 11) -> np.ndarray:
+    """Vectorized stable 64-bit hashes of a string column (polars xxhash64).
+
+    ``values`` may be a list, numpy array, or pyarrow array.  One Rust call
+    per column — replaces the per-string hashlib loop that dominated the
+    round-1 minhash bench."""
+    import polars as pl
+
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        s = pl.from_arrow(values)
+    else:
+        s = pl.Series(values)
+    return s.hash(seed=seed).to_numpy().astype(np.uint64)
 
 
 _MERSENNE = (1 << 61) - 1
 
 
-def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+def _minhash_params(num_perm: int, seed: int) -> tuple:
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
     b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
@@ -57,6 +70,18 @@ def _word_shingles(text: str, n: int = 3) -> List[str]:
     return [" ".join(toks[i: i + n]) for i in range(len(toks) - n + 1)]
 
 
+def _mix_rows_u64(mat: np.ndarray, seed: int = 0x9E3779B97F4A7C15) -> np.ndarray:
+    """Combine each row of a (N, r) uint64 matrix into one uint64 —
+    vectorized splitmix-style mixing (bucket key for LSH bands)."""
+    h = np.full(mat.shape[0], np.uint64(seed), dtype=np.uint64)
+    for j in range(mat.shape[1]):
+        x = mat[:, j] ^ h
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h = x ^ (x >> np.uint64(31))
+    return h
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 
@@ -64,22 +89,25 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                 normalize: bool = True):
     """→ Dataset(doc_id = min id per duplicate group, n_dups).
 
-    Hash column added vectorized per batch; the groupby shuffles only
-    (hash, id) pairs, never the text."""
+    The content key is a 128-bit composite (two seeded xxhash64 passes —
+    a single 64-bit hash collides at ~2^32 docs, too weak for 10^12);
+    the groupby shuffles only (hash, id) pairs, never the text."""
     def add_hash(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
+        col = batch[text_col]
         if normalize:
-            texts = [t.lower() if t else "" for t in texts]
-        digests = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+            col = pc.utf8_lower(pc.coalesce(col, pa.scalar("")))
+        h1 = _stable_u64_column(col, seed=11)
+        h2 = _stable_u64_column(col, seed=23)
         return pa.table({
-            "content_hash": pa.array(digests, type=pa.string()),
+            "h1": pa.array(h1, type=pa.uint64()),
+            "h2": pa.array(h2, type=pa.uint64()),
             id_col: batch[id_col],
         })
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
     from ray.data.aggregate import Count, Min
 
-    agg = hashed.groupby("content_hash").aggregate(
+    agg = hashed.groupby(["h1", "h2"]).aggregate(
         Min(id_col, alias_name="keep_id"), Count(alias_name="n_dups"))
     return agg.map_batches(
         lambda t: pa.table({
@@ -95,21 +123,22 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.1,
                         text_col: str = "text", id_col: str = "doc_id",
-                        lowercase: bool = True):
+                        lowercase: bool = True,
+                        max_group_docs: int = 2000):
     """Exact word-n-gram Jaccard similar pairs (doc_a < doc_b, jacc ≥ τ).
 
-    shingle rows → groupby(shingle).map_groups(emit pairs) →
-    groupby(pair).count → join shingle-set sizes (broadcast) → filter.
-    Skewed shingles (present in many docs) blow up quadratically — the
-    broadcast-size path is exact; cap group emission at scale with MinHash
-    (``minhash_lsh_pairs``) instead.
+    shingle rows → groupby(shingle) pair emit → groupby(pair) count →
+    join per-doc shingle-set sizes (hash join, NOT a broadcast dict) →
+    filter.  ``max_group_docs`` caps the quadratic pair emission for a
+    boilerplate shingle shared by huge numbers of docs: groups above the
+    cap are skipped (such a shingle carries ~no similarity signal, and an
+    uncapped group OOMs one reducer at web scale).  Exactness holds while
+    no group exceeds the cap.
     """
-    import ray
     import pandas as pd
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
         ids, shs = [], []
-        sizes_id, sizes_n = [], []
         for d, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
             t = (t or "")
             if lowercase:
@@ -124,16 +153,15 @@ def ngram_jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.1,
 
     shingles = ds.map_batches(shingle_rows, batch_format="pyarrow")
 
-    # per-doc shingle-set sizes (small: one row per doc)
+    # per-doc shingle-set sizes: one row per doc, kept distributed and
+    # joined against pairs below (a broadcast dict dies at 10^12 docs)
     from ray.data.aggregate import Count
 
     sizes_ds = shingles.groupby("doc_id").aggregate(Count(alias_name="n_sh"))
-    sizes_pd = sizes_ds.to_pandas()  # num_docs rows — broadcastable
-    sizes_ref = ray.put(dict(zip(sizes_pd["doc_id"], sizes_pd["n_sh"])))
 
     def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
         docs = np.sort(group["doc_id"].to_numpy())
-        if len(docs) < 2:
+        if len(docs) < 2 or len(docs) > max_group_docs:
             return pd.DataFrame({"a": [], "b": []})
         ii, jj = np.triu_indices(len(docs), k=1)
         return pd.DataFrame({"a": docs[ii], "b": docs[jj]})
@@ -142,13 +170,21 @@ def ngram_jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.1,
         emit_pairs, batch_format="pandas")
     inter = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="inter"))
 
+    inter = inter.join(sizes_ds, join_type="inner",
+                       num_partitions=JOIN_PARTITIONS,
+                       on=("a",), right_on=("doc_id",), right_suffix="_a")
+    inter = inter.rename_columns({"n_sh": "n_a"})
+    inter = inter.join(sizes_ds, join_type="inner",
+                       num_partitions=JOIN_PARTITIONS,
+                       on=("b",), right_on=("doc_id",), right_suffix="_b")
+    inter = inter.rename_columns({"n_sh": "n_b"})
+
     def jaccard_filter(batch: pa.Table) -> pa.Table:
-        sizes: Dict[int, int] = _cached_get_sizes(sizes_ref)
         a = batch["a"].to_numpy(zero_copy_only=False)
         b = batch["b"].to_numpy(zero_copy_only=False)
         inter_n = batch["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
-        na = np.array([sizes[x] for x in a], dtype=np.float64)
-        nb = np.array([sizes[x] for x in b], dtype=np.float64)
+        na = batch["n_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch["n_b"].to_numpy(zero_copy_only=False).astype(np.float64)
         jacc = inter_n / (na + nb - inter_n)
         keep = jacc >= threshold
         return pa.table({
@@ -160,52 +196,74 @@ def ngram_jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.1,
     return inter.map_batches(jaccard_filter, batch_format="pyarrow")
 
 
-_SIZES_CACHE: Dict = {}
-
-
-def _cached_get_sizes(ref):
-    import ray
-
-    val = _SIZES_CACHE.get(ref)
-    if val is None:
-        val = ray.get(ref)
-        _SIZES_CACHE[ref] = val
-    return val
-
-
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 
 def minhash_signatures(ds, *, num_perm: int = 64, n: int = 3, seed: int = 7,
                        text_col: str = "text", id_col: str = "doc_id",
                        lowercase: bool = True):
-    """→ Dataset(doc_id, sig: list<uint64>[num_perm]) — vectorized minhash
-    over stable shingle hashes."""
+    """→ Dataset(doc_id, sig: list<uint64>[num_perm]).
+
+    Vectorized per batch: all docs' unique shingles are hashed in ONE
+    xxhash64 column call, permutation values are computed as (P, S) blocks,
+    and per-doc minima come from ``np.minimum.reduceat`` over doc
+    boundaries — no per-doc Python hashing."""
     a, b = _minhash_params(num_perm, seed)
+    MAXU = np.iinfo(np.uint64).max
 
     def sig_batch(batch: pa.Table) -> pa.Table:
-        ids, sigs = [], []
-        for d, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        all_sh: List[str] = []
+        counts = np.zeros(len(ids), dtype=np.int64)
+        for i, t in enumerate(texts):
             t = (t or "")
             if lowercase:
                 t = t.lower()
-            sh = list(set(_word_shingles(t, n)))
-            if not sh:
-                sigs.append(np.full(num_perm, np.iinfo(np.uint64).max,
-                                    dtype=np.uint64).tolist())
-                ids.append(d)
-                continue
-            hv = _stable_u64(sh) % _MERSENNE           # (S,)
-            # (P, S) permutation values, min over shingles
-            perm = (a[:, None] * hv[None, :] + b[:, None]) % _MERSENNE
-            sigs.append(perm.min(axis=1).tolist())
-            ids.append(d)
+            sh = set(_word_shingles(t, n))
+            counts[i] = len(sh)
+            all_sh.extend(sh)
+        sig_mat = np.full((len(ids), num_perm), MAXU, dtype=np.uint64)
+        if all_sh:
+            hv = _stable_u64_column(all_sh) % _MERSENNE       # (S,)
+            starts_all = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            nonempty = counts > 0
+            starts = starts_all[nonempty]
+            # chunk the permutations so the (chunk, S) intermediate stays
+            # small; reduceat folds each doc's shingle range to its min
+            for lo in range(0, num_perm, 16):
+                hi = min(lo + 16, num_perm)
+                perm = (a[lo:hi, None] * hv[None, :] + b[lo:hi, None]) \
+                    % _MERSENNE                               # (c, S)
+                mins = np.minimum.reduceat(perm, starts, axis=1)  # (c, D')
+                sig_mat[nonempty, lo:hi] = mins.T
         return pa.table({
             "doc_id": pa.array(ids, type=pa.int64()),
-            "sig": pa.array(sigs, type=pa.list_(pa.uint64())),
+            "sig": pa.array(list(sig_mat), type=pa.list_(pa.uint64())),
         })
 
     return ds.map_batches(sig_batch, batch_format="pyarrow")
+
+
+def _band_rows_fn(bands: int, rows_per_band: int):
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sig_flat = np.asarray(
+            batch["sig"].combine_chunks().flatten().to_numpy(
+                zero_copy_only=False), dtype=np.uint64)
+        D = len(ids)
+        mat = sig_flat.reshape(D, bands, rows_per_band)
+        # one vectorized mix per band instead of a per-(doc, band) blake2b
+        buckets = np.stack([
+            _mix_rows_u64(mat[:, bnd, :]) for bnd in range(bands)], axis=1)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, bands), type=pa.int64()),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), D),
+                             type=pa.int32()),
+            "bucket": pa.array((buckets.reshape(-1) >> np.uint64(1))
+                               .astype(np.int64), type=pa.int64()),
+        })
+    return band_rows
 
 
 def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16, n: int = 3,
@@ -213,44 +271,21 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16, n: int = 3,
                       id_col: str = "doc_id", verify_threshold: float = 0.5):
     """MinHash-LSH candidate pairs, verified by signature similarity.
 
-    signatures → explode to (band_id, bucket_hash, doc_id) rows →
-    groupby(band, bucket) pair emission → distinct pairs → verify estimated
-    Jaccard (fraction of equal signature components) ≥ τ using a broadcast
-    signature matrix.  Pure shuffle-based banding: scales linearly in docs.
+    signatures → explode to (band, bucket, doc_id) rows → groupby(band,
+    bucket) pair emission → distinct pairs → JOIN each side back to the
+    signature dataset and verify estimated Jaccard (fraction of equal
+    signature components) ≥ τ.  Banding is linear in docs; the verify step
+    ships signatures only for candidate pairs — round 1's broadcast of the
+    full signature matrix (512 GB at 10^9 docs × 64 perms) is gone.
     """
-    import ray
     import pandas as pd
 
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(ds, num_perm=num_perm, n=n, seed=seed,
                               text_col=text_col, id_col=id_col)
-
-    sig_pd = sigs.to_pandas()  # one row per doc; broadcastable at test scale
-    sig_matrix = np.array(sig_pd["sig"].tolist(), dtype=np.uint64)
-    doc_ids = sig_pd["doc_id"].to_numpy()
-    id_to_row = {int(d): i for i, d in enumerate(doc_ids)}
-    sig_ref = ray.put((sig_matrix, id_to_row))
-
-    def band_rows(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        sig_lists = batch["sig"].to_pylist()
-        out_id, out_band, out_bucket = [], [], []
-        for d, s in zip(ids, sig_lists):
-            arr = np.asarray(s, dtype=np.uint64)
-            for bnd in range(bands):
-                chunk = arr[bnd * rows_per_band: (bnd + 1) * rows_per_band]
-                digest = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-                out_id.append(d)
-                out_band.append(bnd)
-                out_bucket.append(int.from_bytes(digest, "little") >> 1)
-        return pa.table({
-            "doc_id": pa.array(out_id, type=pa.int64()),
-            "band": pa.array(out_band, type=pa.int32()),
-            "bucket": pa.array(out_bucket, type=pa.int64()),
-        })
-
-    banded = sigs.map_batches(band_rows, batch_format="pyarrow")
+    banded = sigs.map_batches(_band_rows_fn(bands, rows_per_band),
+                              batch_format="pyarrow")
 
     def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
         docs = np.sort(group["doc_id"].unique())
@@ -264,21 +299,98 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16, n: int = 3,
     uniq = pairs.groupby(["a", "b"]).map_groups(
         lambda g: g.head(1), batch_format="pandas")
 
-    def verify(batch: pa.Table) -> pa.Table:
-        mat, idmap = _cached_get_sizes(sig_ref)
-        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ra = np.array([idmap[int(x)] for x in a])
-        rb = np.array([idmap[int(x)] for x in b])
-        est = (mat[ra] == mat[rb]).mean(axis=1)
-        keep = est >= verify_threshold
+    # join payloads must be binary, not list<u64> (Arrow's hash join
+    # rejects list non-key fields) — pack each signature to bytes
+    def to_binary(t: pa.Table) -> pa.Table:
+        flat = np.asarray(t["sig"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False), dtype=np.uint64).reshape(t.num_rows, -1)
         return pa.table({
-            "doc_a": pa.array(a[keep], type=pa.int64()),
-            "doc_b": pa.array(b[keep], type=pa.int64()),
-            "est_jaccard": pa.array(round_half_away(est[keep], 6), type=pa.float64()),
+            "doc_id": t["doc_id"],
+            "sigb": pa.array([r.tobytes() for r in flat], type=pa.binary()),
         })
 
-    return uniq.map_batches(verify, batch_format="pyarrow")
+    sigb = sigs.map_batches(to_binary, batch_format="pyarrow")
+    withsig = uniq.join(sigb, join_type="inner",
+                        num_partitions=JOIN_PARTITIONS,
+                        on=("a",), right_on=("doc_id",))
+    withsig = withsig.rename_columns({"sigb": "sig_a"})
+    withsig = withsig.join(sigb, join_type="inner",
+                           num_partitions=JOIN_PARTITIONS,
+                           on=("b",), right_on=("doc_id",))
+    withsig = withsig.rename_columns({"sigb": "sig_b"})
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                             "doc_b": pa.array([], type=pa.int64()),
+                             "est_jaccard": pa.array([], type=pa.float64())})
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sa = np.frombuffer(b"".join(batch["sig_a"].to_pylist()),
+                           dtype=np.uint64).reshape(len(a), -1)
+        sb = np.frombuffer(b"".join(batch["sig_b"].to_pylist()),
+                           dtype=np.uint64).reshape(len(b), -1)
+        est = (sa == sb).mean(axis=1)
+        keep = est >= verify_threshold
+        order = np.lexsort((b[keep], a[keep]))
+        return pa.table({
+            "doc_a": pa.array(a[keep][order], type=pa.int64()),
+            "doc_b": pa.array(b[keep][order], type=pa.int64()),
+            "est_jaccard": pa.array(round_half_away(est[keep][order], 6),
+                                    type=pa.float64()),
+        })
+
+    return withsig.map_batches(verify, batch_format="pyarrow")
+
+
+def minhash_jaccard_dups(ds, *, num_perm: int = 64, bands: int = 16,
+                         n: int = 3, seed: int = 7, text_col: str = "text",
+                         id_col: str = "doc_id", threshold: float = 0.9):
+    """Near-duplicate pairs with EXACT word-n-gram Jaccard ≥ τ, found via
+    MinHash-LSH candidates and verified exactly against the document text.
+
+    With τ ≥ 0.9 and (bands=16, rows=4) the probability a qualifying pair
+    misses every band is ≤ ~1e-7, so the output equals the exhaustive
+    exact-Jaccard pair set w.h.p. — which is what the SQL oracle computes.
+    The verify joins candidate pairs back to the document text (text ships
+    only for candidates, never broadcast)."""
+    pairs = minhash_lsh_pairs(ds, num_perm=num_perm, bands=bands, n=n,
+                              seed=seed, text_col=text_col, id_col=id_col,
+                              verify_threshold=0.0)
+    docs = ds.map_batches(
+        lambda t: pa.table({"doc_id": pc.cast(t[id_col], pa.int64()),
+                            "_text": t[text_col]}),
+        batch_format="pyarrow")
+    wp = pairs.join(docs, join_type="inner", num_partitions=JOIN_PARTITIONS,
+                    on=("doc_a",), right_on=("doc_id",))
+    wp = wp.rename_columns({"_text": "text_a"})
+    wp = wp.join(docs, join_type="inner", num_partitions=JOIN_PARTITIONS,
+                 on=("doc_b",), right_on=("doc_id",))
+    wp = wp.rename_columns({"_text": "text_b"})
+
+    def exact_verify(batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_j = [], [], []
+        for a_id, b_id, ta, tb in zip(batch["doc_a"].to_pylist(),
+                                      batch["doc_b"].to_pylist(),
+                                      batch["text_a"].to_pylist(),
+                                      batch["text_b"].to_pylist()):
+            sa = set(_word_shingles((ta or "").lower(), n))
+            sb = set(_word_shingles((tb or "").lower(), n))
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= threshold:
+                out_a.append(a_id)
+                out_b.append(b_id)
+                out_j.append(j)
+        return pa.table({
+            "doc_a": pa.array(out_a, type=pa.int64()),
+            "doc_b": pa.array(out_b, type=pa.int64()),
+            "jaccard": pa.array(round_half_away(np.asarray(out_j), 6),
+                                type=pa.float64()),
+        })
+
+    return wp.map_batches(exact_verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -286,29 +398,41 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16, n: int = 3,
 
 def simhash_fingerprints(ds, *, text_col: str = "text", id_col: str = "doc_id",
                          lowercase: bool = True):
-    """→ Dataset(doc_id, simhash:uint64) — 64-bit token-weighted simhash."""
+    """→ Dataset(doc_id, simhash:uint64) — 64-bit token-weighted simhash.
+
+    Vectorized per batch: one xxhash64 call over every doc's unique tokens,
+    bit votes folded per doc with ``np.add.reduceat``."""
     def fp_batch(batch: pa.Table) -> pa.Table:
-        ids, fps = [], []
-        for d, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        all_toks: List[str] = []
+        all_counts: List[np.ndarray] = []
+        nuniq = np.zeros(len(ids), dtype=np.int64)
+        for i, t in enumerate(texts):
             t = (t or "")
             if lowercase:
                 t = t.lower()
             toks = t.split()
-            if not toks:
-                ids.append(d)
-                fps.append(0)
-                continue
-            uniq, counts = np.unique(np.asarray(toks, dtype=object),
-                                     return_counts=True)
-            hv = _stable_u64(list(uniq))
+            if toks:
+                uniq, cnt = np.unique(np.asarray(toks, dtype=object),
+                                      return_counts=True)
+                nuniq[i] = len(uniq)
+                all_toks.extend(uniq.tolist())
+                all_counts.append(cnt)
+        fps = np.zeros(len(ids), dtype=np.uint64)
+        if all_toks:
+            hv = _stable_u64_column(all_toks)                  # (N,)
+            cnts = np.concatenate(all_counts)                  # (N,)
             bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                    & np.uint64(1)).astype(np.int64)
-            votes = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-            fp = np.uint64(0)
-            for k in np.flatnonzero(votes > 0):
-                fp |= np.uint64(1) << np.uint64(k)
-            ids.append(d)
-            fps.append(int(fp))
+                    & np.uint64(1)).astype(np.int64)           # (N, 64)
+            weighted = (bits * 2 - 1) * cnts[:, None]
+            starts_all = np.concatenate(([0], np.cumsum(nuniq)[:-1]))
+            nonempty = nuniq > 0
+            votes = np.add.reduceat(weighted, starts_all[nonempty], axis=0)
+            pos = (votes > 0).astype(np.uint64)                # (D', 64)
+            vals = (pos << np.arange(64, dtype=np.uint64)[None, :]) \
+                .sum(axis=1, dtype=np.uint64)
+            fps[nonempty] = vals
         return pa.table({
             "doc_id": pa.array(ids, type=pa.int64()),
             "simhash": pa.array(fps, type=pa.uint64()),

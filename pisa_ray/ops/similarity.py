@@ -5,8 +5,9 @@
   baseline.
 * ``lsh_ann_topk``    — random-hyperplane LSH bucketing: probe only
   matching buckets (the scale path; approximate).
-* ``cosine_dup_pairs`` — all-pairs cosine ≥ τ near-dup pairs via a
-  broadcast matrix (exact; swap to LSH buckets at scale).
+* ``cosine_dup_pairs`` — all-pairs cosine ≥ τ near-dup pairs via
+  distributed block-pair products (exact; no driver or broadcast
+  materialization — peak memory is two blocks per task).
 """
 
 from __future__ import annotations
@@ -136,39 +137,78 @@ def lsh_ann_topk(ds, query_matrix: np.ndarray, query_ids, *, k: int = 10,
             .groupby("qid").map_groups(merge, batch_format="pandas"))
 
 
+def _block_pair_sims(tbl_a: pa.Table, tbl_b: pa.Table, same: bool,
+                     threshold: float, id_col: str, round_decimals: int
+                     ) -> pa.Table:
+    """Cosine submatrix between two normalized blocks → pairs ≥ τ."""
+    ids_a = tbl_a[id_col].to_numpy(zero_copy_only=False)
+    ids_b = tbl_b[id_col].to_numpy(zero_copy_only=False)
+    ma = np.asarray(tbl_a["_nvec"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False), dtype=np.float64).reshape(len(ids_a), -1)
+    mb = np.asarray(tbl_b["_nvec"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False), dtype=np.float64).reshape(len(ids_b), -1)
+    sims = ma @ mb.T
+    ai, bi = np.nonzero(sims >= threshold)
+    a, b = ids_a[ai], ids_b[bi]
+    s = sims[ai, bi]
+    # orient every pair a < b; same-block pairs drop the diagonal/mirror
+    if same:
+        keep = a < b
+        a, b, s = a[keep], b[keep], s[keep]
+    else:
+        flip = a > b
+        a2 = np.where(flip, b, a)
+        b2 = np.where(flip, a, b)
+        a, b = a2, b2
+    return pa.table({
+        "vec_a": pa.array(a.astype(np.int64), type=pa.int64()),
+        "vec_b": pa.array(b.astype(np.int64), type=pa.int64()),
+        "sim": pa.array(round_half_away(s, round_decimals),
+                        type=pa.float64()),
+    })
+
+
 def cosine_dup_pairs(ds, *, threshold: float = 0.95,
                      vec_col: str = "embedding", id_col: str = "vec_id",
                      round_decimals: int = 6):
-    """Exact near-dup pairs (cosine ≥ τ, a < b) via broadcast matrix.
+    """Exact near-dup pairs (cosine ≥ τ, a < b), distributed block-pair.
 
-    Each batch multiplies against the full normalized matrix — O(N·B·d)
-    compute, no shuffle.  At 10^9 vectors swap the broadcast for LSH
-    buckets (``lsh_ann_topk``'s banding) or an IVF partition join."""
+    The (id, normalized-vector) dataset is materialized in the object
+    store; one Ray task per block pair (i ≤ j) computes that cosine
+    submatrix.  No driver-side or per-worker full-matrix materialization —
+    peak memory per task is two blocks.  The O(N²) compute is inherent to
+    the exact op; the sub-quadratic approximate path is LSH bucketing
+    (``lsh_ann_topk``'s hyperplane banding)."""
     import ray
+    import ray.data
 
-    full = ds.map_batches(
-        lambda t: pa.table({id_col: t[id_col], vec_col: t[vec_col]}),
-        batch_format="pyarrow").to_pandas()
-    ids_all = full[id_col].to_numpy()
-    mat = _normalize(np.array(full[vec_col].tolist(), dtype=np.float64))
-    order = np.argsort(ids_all)
-    ids_all, mat = ids_all[order], mat[order]
-    ref = ray.put((ids_all, mat))
-
-    def pairs(batch: pa.Table) -> pa.Table:
-        aids, amat = _cached_get(ref)
-        emb = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        sims = _normalize(emb) @ amat.T  # (B, N)
-        bi, ni = np.nonzero(sims >= threshold)
-        a = ids[bi]
-        b = aids[ni]
-        keep = a < b
+    def norm_batch(t: pa.Table) -> pa.Table:
+        emb = np.array(t[vec_col].to_pylist(), dtype=np.float64)
+        nv = _normalize(emb)
         return pa.table({
-            "vec_a": pa.array(a[keep], type=pa.int64()),
-            "vec_b": pa.array(b[keep], type=pa.int64()),
-            "sim": pa.array(round_half_away(sims[bi, ni][keep], round_decimals),
-                            type=pa.float64()),
+            id_col: pc_cast_i64(t[id_col]),
+            "_nvec": pa.array(list(nv), type=pa.list_(pa.float64())),
         })
 
-    return ds.map_batches(pairs, batch_format="pyarrow")
+    import pyarrow.compute as _pc
+
+    def pc_cast_i64(col):
+        return _pc.cast(col, pa.int64())
+
+    compact = ds.map_batches(norm_batch, batch_format="pyarrow").materialize()
+    block_refs = [block_ref
+                  for bundle in compact.iter_internal_ref_bundles()
+                  for block_ref, _m in bundle.blocks]
+    pair_task = ray.remote(_block_pair_sims)
+    out_refs = []
+    for i in range(len(block_refs)):
+        for j in range(i, len(block_refs)):
+            out_refs.append(pair_task.remote(
+                block_refs[i], block_refs[j], i == j, threshold, id_col,
+                round_decimals))
+    if not out_refs:
+        return ray.data.from_arrow(pa.table({
+            "vec_a": pa.array([], type=pa.int64()),
+            "vec_b": pa.array([], type=pa.int64()),
+            "sim": pa.array([], type=pa.float64())}))
+    return ray.data.from_arrow_refs(out_refs)

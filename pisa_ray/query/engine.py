@@ -36,8 +36,9 @@ from pisa_ray.query.scorers import make_scorer
 class QueryEngine:
     def __init__(self, index_dir: str, *, scorer: Optional[str] = None,
                  score_dtype: Optional[str] = None,
-                 analyzer: Optional[AnalyzerConfig] = None):
-        self.index = InvertedIndex(index_dir)
+                 analyzer: Optional[AnalyzerConfig] = None,
+                 doc_range: Optional[Tuple[int, int]] = None):
+        self.index = InvertedIndex(index_dir, doc_range=doc_range)
         cfg = self.index.config
         # A quantized index stores precomputed impacts, not term frequencies;
         # scoring them with BM25 would be meaningless and inconsistent with
@@ -186,13 +187,43 @@ def run_queries(queries, index_dir: str, *, k: int = 10,
     )
 
 
+class ShardExecutor:
+    """map_batches actor bound to ONE doc shard: its ``__init__`` loads only
+    the index segments overlapping [doc_lo, doc_hi) and that slice of the
+    sizes table (``InvertedIndex(doc_range=...)``) — per-actor memory for
+    postings and sizes is ∝ 1/num_shards, matching the reference's
+    per-shard mmap locality (``src/sharding.cpp:146-268``)."""
+
+    def __init__(self, index_dir: str, doc_lo: int, doc_hi: int, k: int,
+                 algorithm: str):
+        self.engine = QueryEngine(index_dir, doc_range=(doc_lo, doc_hi))
+        self.lo, self.hi, self.k, self.algorithm = doc_lo, doc_hi, k, algorithm
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, docs, scores = [], [], []
+        for qid, text in zip(batch["qid"].to_pylist(),
+                             batch["query"].to_pylist()):
+            for score, doc in self.engine.run_shard(
+                    text, self.lo, self.hi, k=self.k,
+                    algorithm=self.algorithm):
+                qids.append(qid)
+                docs.append(doc)
+                scores.append(score)
+        return pa.table({
+            "qid": pa.array(qids, type=pa.string()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        })
+
+
 def run_queries_sharded(queries, index_dir: str, *, num_shards: int = 4,
                         k: int = 10, algorithm: str = "block_max_wand",
                         concurrency: int = 4):
-    """Doc-sharded query fan-out: every (query, shard) pair is served by an
-    actor restricted to its docid range; per-shard top-k are merged with a
-    small groupby (score desc, docid asc).  Rank-identical to single-shard
-    serving because the index carries global statistics — the property the
+    """Doc-sharded query fan-out: the query log runs through one actor pool
+    PER SHARD, each actor loading only its shard's docid range (segments +
+    sizes slice); per-shard top-k are merged with a small groupby
+    (score desc, docid asc).  Rank-identical to single-shard serving
+    because the index carries global statistics — the property the
     reference's sharding relies on (SURVEY §2.12/§2.9).
     Returns a Dataset of (qid, rank, doc_id, score)."""
     import json
@@ -203,32 +234,21 @@ def run_queries_sharded(queries, index_dir: str, *, num_shards: int = 4,
     with open(os.path.join(index_dir, "stats.json")) as f:
         num_docs = json.load(f)["num_docs"]
     bounds = np.linspace(0, num_docs, num_shards + 1, dtype=np.int64)
-    pairs = [{"qid": qid, "query": text, "doc_lo": int(bounds[s]),
-              "doc_hi": int(bounds[s + 1])}
-             for qid, text in queries for s in range(num_shards)]
-    ds = ray.data.from_items(pairs).repartition(
-        max(concurrency, len(pairs) // 8))
-
-    class ShardExecutor:
-        def __init__(self):
-            self.engine = QueryEngine(index_dir)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            qids, docs, scores = [], [], []
-            for qid, text, lo, hi in zip(batch["qid"].to_pylist(),
-                                         batch["query"].to_pylist(),
-                                         batch["doc_lo"].to_pylist(),
-                                         batch["doc_hi"].to_pylist()):
-                for score, doc in self.engine.run_shard(
-                        text, lo, hi, k=k, algorithm=algorithm):
-                    qids.append(qid)
-                    docs.append(doc)
-                    scores.append(score)
-            return pa.table({
-                "qid": pa.array(qids, type=pa.string()),
-                "doc_id": pa.array(docs, type=pa.int64()),
-                "score": pa.array(scores, type=pa.float64()),
-            })
+    qlist = [{"qid": qid, "query": text} for qid, text in queries]
+    per_shard_conc = max(1, concurrency // num_shards)
+    partials = []
+    for s in range(num_shards):
+        ds = ray.data.from_items(qlist).repartition(
+            max(per_shard_conc, len(qlist) // 8))
+        partials.append(ds.map_batches(
+            ShardExecutor,
+            fn_constructor_args=(index_dir, int(bounds[s]),
+                                 int(bounds[s + 1]), k, algorithm),
+            batch_format="pyarrow", batch_size=8,
+            concurrency=per_shard_conc, num_cpus=1))
+    merged = partials[0]
+    for p in partials[1:]:
+        merged = merged.union(p)
 
     import pandas as pd
 
@@ -238,8 +258,5 @@ def run_queries_sharded(queries, index_dir: str, *, num_shards: int = 4,
         g["rank"] = np.arange(1, len(g) + 1)
         return g[["qid", "rank", "doc_id", "score"]]
 
-    partial = ds.map_batches(ShardExecutor, batch_format="pyarrow",
-                             batch_size=8, concurrency=concurrency,
-                             num_cpus=1)
-    return partial.groupby("qid").map_groups(merge_topk,
-                                             batch_format="pandas")
+    return merged.groupby("qid").map_groups(merge_topk,
+                                            batch_format="pandas")

@@ -170,6 +170,41 @@ def test_sharded_serving_rank_identical(engine, ray_session):
                                want, f"{qid} sharded")
 
 
+def test_doc_range_reader_loads_fraction(ray_session, tmp_path):
+    """A doc_range-restricted reader holds a fraction of the postings and
+    exactly its slice of the sizes table — sharded serving is actually
+    sharded.  Needs a salted partition index (doc-range-scoped segment
+    files) for the first_doc/last_doc pruning to bite."""
+    import ray.data
+
+    from pisa_ray.index.build import IndexConfig, build_index
+    from pisa_ray.index.reader import InvertedIndex
+
+    texts = make_corpus(120)
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    }))
+    out_dir = str(tmp_path / "shardidx")
+    build_index(corpus, out_dir,
+                config=IndexConfig(num_shards=2, exchange="partition",
+                                   exchange_rows_per_part=200))
+    full = InvertedIndex(out_dir)
+    total_postings = sum(
+        sum(s.n for s in segs) for segs in full._segments.values())
+    num_docs = full.stats.num_docs
+    lo, hi = 0, num_docs // 3
+    part = InvertedIndex(out_dir, doc_range=(lo, hi))
+    part_postings = sum(
+        sum(s.n for s in segs) for segs in part._segments.values())
+    # segments overlap range boundaries, so allow slack over the exact 1/3
+    assert part_postings < 0.8 * total_postings
+    assert len(part.doc_lens.arr) == hi - lo
+    # doc lengths agree on the loaded range (vectorized lookup path)
+    ids = np.arange(lo, hi, dtype=np.int64)
+    assert (part.doc_lens[ids] == full.doc_lens[ids]).all()
+
+
 @pytest.mark.parametrize("wand_cfg", [{"wand_block_size": 8},
                                       {"wand_lambda": 0.3}])
 def test_decoupled_wand_blocks_rank_identical(ray_session, tmp_path,
