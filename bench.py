@@ -45,6 +45,10 @@ SCALING_PAGES = int(os.environ.get("PISA_RAY_SCALING_PAGES", "3000000"))
 # scale path; "sort" selects the Dataset-native range shuffle
 EXCHANGE = os.environ.get("PISA_RAY_EXCHANGE", "partition")
 QUERY_REPEAT = int(os.environ.get("PISA_RAY_BENCH_QUERY_REPEAT", "20"))
+# "all" = full headline bench; "index" = index build only (the --scaling
+# child runs use this so each rep measures exactly the scaling criterion's
+# job and nothing else)
+STAGES = os.environ.get("PISA_RAY_BENCH_STAGES", "all")
 
 PAGES_CACHE = f"/tmp/pisa_ray_bench_pages_{N_PAGES}"
 INDEX_DIR_TMPL = "/tmp/pisa_ray_bench_index_{cpus}"
@@ -98,6 +102,18 @@ def run_bench() -> dict:
     timings["index_build"] = round(time.time() - t0, 3)
     extras["index_docs_per_sec"] = round(N_PAGES / timings["index_build"], 1)
     extras["n_pages"] = N_PAGES
+
+    if STAGES == "index":
+        ray.shutdown()
+        return {
+            "metric": "pisa_ray index build",
+            "value": timings["index_build"],
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            **extras,
+        }
 
     # ---- query serving ----------------------------------------------------
     qlist = [(f"{qid}_{r}", " ".join(ts).replace("join", "w0001")
@@ -163,7 +179,8 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   PISA_RAY_BENCH_PAGES=str(SCALING_PAGES))
+                   PISA_RAY_BENCH_PAGES=str(SCALING_PAGES),
+                   PISA_RAY_BENCH_STAGES="index")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True, cwd=os.path.dirname(

@@ -3,10 +3,9 @@
 Mirrors the reference's ``TextAnalyzer = [TextFilter*] → Tokenizer →
 [TokenFilter*]`` composition (``/root/reference/src/text_analyzer.cpp:47-58``)
 and its CLI surface (tokenizers ``{whitespace, english}``, token filters
-``{lowercase, porter2}``, optional stopword set —
-``/root/reference/tools/app.cpp:24-70``).  The Krovetz stemmer is not
-available in this environment; requesting it raises ``NotImplementedError``
-(the actor-pool plumbing is identical to porter2's).
+``{lowercase, porter2, krovetz}``, optional stopword set —
+``/root/reference/tools/app.cpp:24-70``).  ``krovetz`` is the pure-Python
+dictionary-free rule subset (see ``pisa_ray.analysis.kstem``).
 
 Filters are applied in the declared order, as flat-maps over the token
 stream: lowercase (1→1), stemmer (1→1), stopword removal (1→0/1).  The
@@ -42,12 +41,7 @@ class AnalyzerConfig:
         if self.tokenizer not in TOKENIZERS:
             raise ValueError(f"unknown tokenizer {self.tokenizer!r}")
         for f in self.token_filters:
-            if f == "krovetz":
-                raise NotImplementedError(
-                    "Krovetz stemmer unavailable in this environment; "
-                    "use 'porter2' (same actor-pool plumbing)"
-                )
-            if f not in ("lowercase", "porter2"):
+            if f not in ("lowercase", "porter2", "krovetz"):
                 raise ValueError(f"unknown token filter {f!r}")
 
 
@@ -63,7 +57,14 @@ class TextAnalyzer:
         self.config = config or AnalyzerConfig()
         self._tokenize = TOKENIZERS[self.config.tokenizer]
         self._lower = "lowercase" in self.config.token_filters
-        self._stem = "porter2" in self.config.token_filters
+        if "krovetz" in self.config.token_filters:
+            from pisa_ray.analysis.kstem import krovetz_stem
+            self._stem_fn = krovetz_stem
+        elif "porter2" in self.config.token_filters:
+            self._stem_fn = porter2_stem
+        else:
+            self._stem_fn = None
+        self._stem = self._stem_fn is not None
         self._stem_cache: dict = {}
         self._stop = self.config.stopwords
 
@@ -87,7 +88,7 @@ class TextAnalyzer:
             for t in toks:
                 s = cache.get(t)
                 if s is None:
-                    s = porter2_stem(t)
+                    s = self._stem_fn(t)
                     cache[t] = s
                 out.append(s)
             toks = out

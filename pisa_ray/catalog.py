@@ -198,6 +198,32 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS size FROM toks GROUP BY doc_id"""
 
 
 def q_postings(sf_dir: str):
+    return _postings_decoded(sf_dir, get_index_dir(sf_dir))
+
+
+def _index_dir_for_codec(sf_dir: str, codec: str) -> str:
+    """Build (or reuse) a catalog index with a specific posting codec."""
+    from pisa_ray.index.build import IndexConfig, build_index
+
+    cfg = IndexConfig(score_dtype="float64", num_shards=4, codec=codec)
+    out = os.path.join(
+        CACHE_ROOT, os.path.basename(os.path.normpath(sf_dir)) + "_" +
+        cfg.config_hash())
+    build_index(_docs_ds(sf_dir), out, config=cfg, resume=True)
+    return out
+
+
+def make_q_postings_codec(codec: str):
+    """Catalog entry factory: postings decoded from an index built with
+    ``codec`` — the driver's oracle then certifies that codec's full
+    build→encode→decode round trip, not just the unit tests."""
+    def q(sf_dir: str):
+        return _postings_decoded(sf_dir, _index_dir_for_codec(sf_dir, codec))
+    q.__name__ = f"q_postings_{codec}"
+    return q
+
+
+def _postings_decoded(sf_dir: str, idx_dir: str):
     """Decode the compressed index back to (term, doc_id, tf) with a Ray
     pipeline over the segment rows — exercises codec round-trip at the
     driver correctness gate."""
@@ -205,7 +231,6 @@ def q_postings(sf_dir: str):
 
     from pisa_ray.index.postings import SegmentView
 
-    idx_dir = get_index_dir(sf_dir)
     lex = q_lexicon(sf_dir)
     terms = lex["term"].to_pylist()
     import ray
@@ -756,6 +781,11 @@ QUERIES: Dict[str, Callable] = {
     "lexicon": q_lexicon,
     "doc_sizes": q_doc_sizes,
     "postings": q_postings,
+    "postings_streamvbyte": make_q_postings_codec("streamvbyte"),
+    "postings_simple8b": make_q_postings_codec("simple8b"),
+    "postings_optpfor": make_q_postings_codec("optpfor"),
+    "postings_pef": make_q_postings_codec("pefuniform"),
+    "postings_interpolative": make_q_postings_codec("interpolative"),
     "collection_stats": q_collection_stats,
     "bm25_topk": q_bm25_topk,
     "thresholds": q_thresholds,
@@ -784,6 +814,11 @@ ORACLE_SQL: Dict[str, str] = {
     "lexicon": SQL_LEXICON,
     "doc_sizes": SQL_DOC_SIZES,
     "postings": SQL_POSTINGS,
+    "postings_streamvbyte": SQL_POSTINGS,
+    "postings_simple8b": SQL_POSTINGS,
+    "postings_optpfor": SQL_POSTINGS,
+    "postings_pef": SQL_POSTINGS,
+    "postings_interpolative": SQL_POSTINGS,
     "collection_stats": SQL_COLLECTION_STATS,
     "bm25_topk": SQL_BM25_TOPK,
     "thresholds": SQL_THRESHOLDS,
@@ -943,15 +978,75 @@ LEFT JOIN kth k ON qterms.term = k.term
 GROUP BY qids.qid"""
 
 
+def q_kth_threshold_pairs(sf_dir: str) -> pd.DataFrame:
+    """Single+pair substructure kth-threshold lower bounds (the fork's
+    kth_threshold pair caches) over the fixed query set, k=10."""
+    from pisa_ray.tools import kth_threshold_estimate_multi
+
+    eng = _engine(sf_dir)
+    df = kth_threshold_estimate_multi(
+        eng, [(qid, " ".join(ts)) for qid, ts in QUERY_SET],
+        k=TOPK, use_pairs=True)
+    out = df[["qid", "est_threshold"]].copy()
+    out["est_threshold"] = _round_match(out["est_threshold"].to_numpy(), 4)
+    return out
+
+
+# est = max over singles' k-th weight and pairs' k-th pairwise-sum weight
+SQL_KTH_THRESHOLD_PAIRS = f"""WITH {_TF_CTES},
+{_values_queries()},
+w AS (
+    SELECT tf.term, tf.doc_id, {_BM25_WEIGHT_SQL} AS weight
+    FROM tf JOIN df ON tf.term = df.term
+    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+),
+qterms AS (SELECT DISTINCT qid, term FROM q),
+ranked_w AS (
+    SELECT term, weight,
+           row_number() OVER (PARTITION BY term
+                              ORDER BY weight DESC, doc_id) AS rn
+    FROM w
+),
+kth1 AS (SELECT qt.qid, r.weight AS kth_score
+         FROM ranked_w r JOIN qterms qt ON qt.term = r.term
+         WHERE r.rn = {TOPK}),
+qpairs AS (
+    SELECT a.qid, a.term AS ta, b.term AS tb
+    FROM qterms a JOIN qterms b ON a.qid = b.qid AND a.term < b.term
+),
+pair_doc AS (
+    SELECT p.qid, p.ta, p.tb, wa.doc_id,
+           wa.weight + wb.weight AS weight
+    FROM qpairs p
+    JOIN w wa ON wa.term = p.ta
+    JOIN w wb ON wb.term = p.tb AND wb.doc_id = wa.doc_id
+),
+ranked_p AS (
+    SELECT qid, ta, tb, weight,
+           row_number() OVER (PARTITION BY qid, ta, tb
+                              ORDER BY weight DESC, doc_id) AS rn
+    FROM pair_doc
+),
+kth2 AS (SELECT qid, weight AS kth_score FROM ranked_p WHERE rn = {TOPK}),
+allk AS (SELECT * FROM kth1 UNION ALL SELECT * FROM kth2),
+qids AS (SELECT DISTINCT qid FROM q)
+SELECT qids.qid,
+       round(COALESCE(max(k.kth_score), 0.0), 4) AS est_threshold
+FROM qids LEFT JOIN allk k USING (qid)
+GROUP BY qids.qid"""
+
+
 QUERIES.update({
     "count_postings": q_count_postings,
     "selective_queries": q_selective_queries,
     "intersection_stats": q_intersection_stats,
     "kth_threshold_single": q_kth_threshold_single,
+    "kth_threshold_pairs": q_kth_threshold_pairs,
 })
 ORACLE_SQL.update({
     "count_postings": SQL_COUNT_POSTINGS,
     "selective_queries": SQL_SELECTIVE_QUERIES,
     "intersection_stats": SQL_INTERSECTION_STATS,
     "kth_threshold_single": SQL_KTH_THRESHOLD_SINGLE,
+    "kth_threshold_pairs": SQL_KTH_THRESHOLD_PAIRS,
 })

@@ -95,7 +95,7 @@ def cmd_query(args) -> int:
     from pisa_ray.query.engine import QueryEngine
 
     _init_ray(args.num_cpus)
-    eng = QueryEngine(args.index)
+    eng = QueryEngine(args.index, scorer=args.scorer)
     for qid, text in _parse_query_file(args.queries):
         for rank, (score, doc) in enumerate(
                 eng.run(text, k=args.k, algorithm=args.algorithm), 1):
@@ -110,7 +110,7 @@ def cmd_evaluate(args) -> int:
     _init_ray(args.num_cpus)
     queries = _parse_query_file(args.queries)
     res = run_queries(queries, args.index, k=args.k,
-                      algorithm=args.algorithm,
+                      algorithm=args.algorithm, scorer=args.scorer,
                       concurrency=args.concurrency).to_pandas()
     out = open(args.output, "w") if args.output else sys.stdout
     for row in res.sort_values(["qid", "rank"]).itertuples(index=False):
@@ -129,7 +129,7 @@ def cmd_bench_queries(args) -> int:
     from pisa_ray.query.engine import QueryEngine
 
     _init_ray(args.num_cpus)
-    eng = QueryEngine(args.index)
+    eng = QueryEngine(args.index, scorer=args.scorer)
     queries = _parse_query_file(args.queries)
     for qid, text in queries:  # warmup (also warms block decode caches)
         eng.run(text, k=args.k, algorithm=args.algorithm)
@@ -156,7 +156,7 @@ def cmd_thresholds(args) -> int:
     from pisa_ray.query.engine import QueryEngine
 
     _init_ray(args.num_cpus)
-    eng = QueryEngine(args.index)
+    eng = QueryEngine(args.index, scorer=args.scorer)
     for qid, text in _parse_query_file(args.queries):
         print(f"{qid}\t{eng.threshold(text, k=args.k):.6f}")
     return 0
@@ -207,6 +207,10 @@ def main(argv=None) -> int:
                                 "wand", "block_max_wand", "maxscore",
                                 "block_max_maxscore", "block_max_ranked_and",
                                 "taat_maxscore"])
+        # override the index-config scorer (a quantized index defaults to
+        # the quantized scorer; this flag serves e.g. research reruns)
+        q.add_argument("--scorer", default=None,
+                       choices=["bm25", "qld", "pl2", "dph", "quantized"])
         if name == "evaluate":
             q.add_argument("--run-id", default="pisa_ray")
             q.add_argument("--output", default=None)

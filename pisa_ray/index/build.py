@@ -61,6 +61,11 @@ from pisa_ray.utils import sorted_with_rank
 
 @dataclass(frozen=True)
 class IndexConfig:
+    # bump when the on-disk segment layout changes incompatibly (it feeds
+    # config_hash, so stale caches/partitions rebuild instead of
+    # mis-decoding); v2 = block 0 encodes its first docid relative to the
+    # stored first_doc column
+    layout_version: int = 2
     tokenizer: str = "english"
     token_filters: tuple = ("lowercase",)
     stopwords: tuple = ()
@@ -124,6 +129,13 @@ class IndexConfig:
         ).hexdigest()[:16]
 
 
+# docid broadcast ceiling: above this many docs the sorted-url array stops
+# fitting a worker and the build switches to the distributed docmap + hash
+# join path (overridable for tests / tighter worker memory budgets)
+DOCID_BROADCAST_MAX = int(os.environ.get("PISA_RAY_DOCID_BROADCAST_MAX",
+                                         50_000_000))
+
+
 def _parquet_row_count(files) -> Optional[int]:
     """Total row count straight from parquet footers — no Ray job, no data
     read.  Returns None if any file lacks usable metadata."""
@@ -178,6 +190,11 @@ class AnalyzeCountTokens:
 
     Setup (analyzer build, optional url→doc_id broadcast dict) happens once
     per actor in __init__; __call__ is per Arrow batch (zero-copy in).
+
+    With ``id_col=None`` and no broadcast ref, rows are keyed by the URL
+    string instead of a docid — the 10^12-doc path, where docids are
+    attached downstream by a hash join against the distributed docmap
+    (SURVEY §2.5) because the sorted-url array no longer fits a worker.
     """
 
     def __init__(self, config: AnalyzerConfig, text_col: str, id_col: Optional[str],
@@ -207,12 +224,22 @@ class AnalyzeCountTokens:
         doc_idx, terms, tfs, doc_lens = self.analyzer.count_batch(texts)
         if self.id_col is not None:
             doc_ids_all = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        else:
+        elif self.url_to_doc is not None:
             sorted_urls = self.url_to_doc
             batch_urls = np.asarray(batch[self.url_col].to_pylist(),
                                     dtype=sorted_urls.dtype)
             doc_ids_all = np.searchsorted(sorted_urls,
                                           batch_urls).astype(np.uint64)
+        else:
+            # url-keyed rows: the docid arrives via the docmap hash join
+            urls = batch[self.url_col].to_pylist()
+            return pa.table({
+                self.url_col: pa.array([urls[i] for i in doc_idx],
+                                       type=pa.string()),
+                "term": pa.array(terms.astype(str), type=pa.string()),
+                "tf": pa.array(tfs, type=pa.uint32()),
+                "doc_len": pa.array(doc_lens[doc_idx], type=pa.uint32()),
+            })
         return pa.table({
             "doc_id": pa.array(doc_ids_all[doc_idx], type=pa.uint64()),
             "term": pa.array(terms.astype(str), type=pa.string()),
@@ -510,20 +537,30 @@ def build_index(
     os.makedirs(out_dir, exist_ok=True)
 
     # -- docid assignment ---------------------------------------------------
-    # doc_id = global sorted-url rank.  Up to ~5M docs the rank is computed
-    # driver-side in one job (pull the url column, argsort); beyond that the
-    # distributed path (sorted_with_rank + hash-join remap) takes over —
-    # the broadcast url→id dict stops fitting a worker anyway.
+    # doc_id = global sorted-url rank.  Below the broadcast threshold the
+    # rank is computed driver-side in one pass (pull the url column,
+    # Arrow-sort) and the sorted url array is broadcast for vectorized
+    # searchsorted lookup; beyond it the docmap stays DISTRIBUTED
+    # (sorted_with_rank → parquet) and tokens get their docids via a hash
+    # join on url (SURVEY §2.5) — nothing of docmap size ever lands on the
+    # driver or in a single worker.
     url_to_doc_ref = None
+    docid_join = False
     num_docs = None
     if id_col is None:
         if url_col is None:
             raise ValueError("need id_col or url_col")
+        dm = None
         if resume and stage_complete(paths["docmap"], cfg_hash):
-            dm = pa.concat_tables(
-                [pq.read_table(os.path.join(paths["docmap"], f))
-                 for f in sorted(os.listdir(paths["docmap"]))
-                 if f.endswith(".parquet")])
+            dm_files = [os.path.join(paths["docmap"], f)
+                        for f in sorted(os.listdir(paths["docmap"]))
+                        if f.endswith(".parquet")]
+            num_docs = _parquet_row_count(dm_files)
+            if num_docs is not None and num_docs > DOCID_BROADCAST_MAX:
+                docid_join = True
+            else:
+                dm = pa.concat_tables([pq.read_table(f) for f in dm_files])
+                num_docs = dm.num_rows
         else:
             # prune the url read: go straight to the source files when the
             # corpus is a plain parquet read (select_columns alone may not
@@ -534,19 +571,18 @@ def build_index(
             except Exception:
                 src_files = []
             approx_rows = _parquet_row_count(src_files) if src_files else None
-            if approx_rows is not None and approx_rows > 50_000_000 or (
-                    approx_rows is None and corpus.count() > 50_000_000):
-                # distributed path: sort+rank stays in the cluster; tokens
-                # get their docids via a hash join on url downstream
+            if approx_rows is None:
+                approx_rows = corpus.count()
+            if approx_rows > DOCID_BROADCAST_MAX:
+                # distributed path: sort+rank stays in the cluster; the
+                # docmap is never read back whole
                 docmap = sorted_with_rank(
                     corpus.select_columns([url_col]), url_col, "doc_id",
                     pa.uint64())
                 docmap.write_parquet(_fresh_stage_dir(paths["docmap"]))
                 write_manifest(paths["docmap"], cfg_hash)
-                dm = pa.concat_tables(
-                    [pq.read_table(os.path.join(paths["docmap"], f))
-                     for f in sorted(os.listdir(paths["docmap"]))
-                     if f.endswith(".parquet")])
+                num_docs = int(approx_rows)
+                docid_join = True
             else:
                 # driver fast path: read the url column straight off the
                 # parquet footers (multithreaded C reads, no Ray job), sort
@@ -571,13 +607,15 @@ def build_index(
                 pq.write_table(dm, os.path.join(paths["docmap"],
                                                 "part-00000.parquet"))
                 write_manifest(paths["docmap"], cfg_hash)
-        num_docs = dm.num_rows
-        # broadcast the SORTED url column as an Arrow array (zero-copy into
-        # plasma); each worker converts it once to a fixed-width bytes
-        # numpy array for vectorized searchsorted — the conversion cost is
-        # paid in parallel on workers, not serially on the driver
-        dm_sorted = dm.sort_by("doc_id")
-        url_to_doc_ref = ray.put(dm_sorted[url_col].combine_chunks())
+                num_docs = dm.num_rows
+        if dm is not None:
+            # broadcast the SORTED url column as an Arrow array (zero-copy
+            # into plasma); each worker converts it once to a fixed-width
+            # bytes numpy array for vectorized searchsorted — the
+            # conversion cost is paid in parallel on workers, not serially
+            # on the driver
+            dm_sorted = dm.sort_by("doc_id")
+            url_to_doc_ref = ray.put(dm_sorted[url_col].combine_chunks())
     else:
         src_files = []
         try:
@@ -597,7 +635,7 @@ def build_index(
         resume and stage_complete(paths[s], cfg_hash)
         for s in ("fwd", "sizes", "lexicon"))
     tokens_md = None  # materialized token dataset (plasma blocks)
-    if config.small_tables_on_driver and not stage1_done:
+    if config.small_tables_on_driver and not docid_join and not stage1_done:
         # -- FUSED stage 1: ONE pass over the corpus produces (a) the token
         # dataset, materialized in the object store for every downstream
         # consumer (partial aggregates, inversion exchange) and (b) fwd
@@ -659,6 +697,23 @@ def build_index(
                 batch_format="pyarrow",
                 batch_size=analyzer_batch_size,
             )
+            if docid_join:
+                # url-keyed tokens ⋈ distributed docmap → docid'd tokens;
+                # the docmap side ships only (url, doc_id), never the
+                # postings, and neither side is ever collected
+                cpus = int(ray.cluster_resources().get("CPU", 8))
+                dm_ds = ray.data.read_parquet(paths["docmap"])
+                fwd = fwd.join(dm_ds, join_type="inner",
+                               num_partitions=max(2, cpus),
+                               on=(url_col,), right_on=(url_col,))
+                fwd = fwd.map_batches(
+                    lambda t: pa.table({
+                        "doc_id": pc.cast(t["doc_id"], pa.uint64()),
+                        "term": t["term"],
+                        "tf": t["tf"],
+                        "doc_len": t["doc_len"],
+                    }),
+                    batch_format="pyarrow")
             _trace("fwd: writing")
             fwd.write_parquet(_fresh_stage_dir(paths["fwd"]))
             write_manifest(paths["fwd"], cfg_hash)

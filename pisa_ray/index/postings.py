@@ -61,7 +61,11 @@ def encode_segment(
     tfs = np.ascontiguousarray(tfs, dtype=np.uint32)
 
     gaps = np.empty(n, dtype=np.uint64)
-    gaps[0] = doc_ids[0]  # prev = -1 → gap-1 == docid
+    # block 0's first entry is 0: the absolute first docid lives in the
+    # stored first_doc column, so the payload never carries it — an
+    # absolute id in the block would force the whole block's bit width up
+    # (a BP-reordered index would look BIGGER without this)
+    gaps[0] = 0
     np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:])
     if n > 1 and gaps[1:].min() == 0:
         raise ValueError(
@@ -84,7 +88,7 @@ def encode_segment(
     for b in range(nblocks):
         lo, hi = b * block_size, min((b + 1) * block_size, n)
         if monotone:
-            base = doc_ids[lo - 1] + np.uint64(1) if lo else np.uint64(0)
+            base = doc_ids[lo - 1] + np.uint64(1) if lo else doc_ids[0]
             doc_chunks.append(enc(doc_ids[lo:hi] - base))
             freq_chunks.append(enc(np.cumsum(tfs[lo:hi], dtype=np.uint64)))
         else:
@@ -137,13 +141,14 @@ class SegmentView:
     __slots__ = ("n", "block_size", "doc_payload", "freq_payload",
                  "doc_endpoints", "freq_endpoints", "block_last_docs",
                  "block_max_scores", "wand_last_docs", "wand_max_scores",
-                 "max_score", "_dec", "_monotone")
+                 "max_score", "first_doc", "_dec", "_monotone")
 
     def __init__(self, row: Dict[str, object], *, block_size: int = BLOCK_SIZE,
                  codec: str = "bitpack"):
         _, self._dec = get_codec(codec)
         self._monotone = codec in MONOTONE_CODECS
         self.n = int(row["df"])
+        self.first_doc = np.uint64(row["first_doc"])
         self.block_size = block_size
         self.doc_payload = row["doc_payload"]
         self.freq_payload = row["freq_payload"]
@@ -173,7 +178,8 @@ class SegmentView:
         """Absolute docids of block ``b`` (u64)."""
         lo, hi = int(self.doc_endpoints[b]), int(self.doc_endpoints[b + 1])
         vals = self._dec(self.doc_payload[lo:hi], self.block_len(b)).astype(np.uint64)
-        base = np.uint64(0) if b == 0 else self.block_last_docs[b - 1] + np.uint64(1)
+        base = self.first_doc if b == 0 \
+            else self.block_last_docs[b - 1] + np.uint64(1)
         if self._monotone:
             return vals + base
         vals[0] += base

@@ -522,27 +522,36 @@ ALGORITHMS["block_max_maxscore"] = block_max_maxscore
 ALGORITHMS["block_max_ranked_and"] = block_max_ranked_and
 
 
-def taat_maxscore(cursors: List[Cursor], doc_lens: np.ndarray, k: int,
-                  initial_threshold: float = 0.0) -> TopKQueue:
-    """Vectorized TAAT with MaxScore pruning — the large-corpus serving
-    path.  Lists are processed in descending max_score; once the remaining
-    lists' combined bound cannot lift an untouched document over the
-    current threshold, they only update *candidate* documents (vectorized
-    ``searchsorted`` intersection instead of full accumulation).  Sound for
-    the same reason as maxscore: bounds are upper bounds.  Rank-identical
-    to ranked_or."""
+def taat_maxscore_arrays(lists, n: int, k: int,
+                         initial_threshold: float = 0.0,
+                         workspace=None) -> TopKQueue:
+    """Vectorized TAAT with MaxScore pruning over PRE-SCORED arrays.
+
+    ``lists`` is ``[(docs:int64[], scores:float32[], max_score, weight)]``.
+    This is the kernel behind ``taat_maxscore``; serving actors feed it
+    decoded-and-scored posting arrays from a per-actor cache
+    (``QueryEngine.scored_postings``) so the per-query cost is pure
+    numpy scatter-adds — no decode, no per-posting Python.
+
+    ``workspace`` = reusable ``(acc: float32[n], touched: bool[n])``
+    zeroed arrays; the kernel re-zeroes exactly the entries it touched
+    before returning (the reference's Lazy_Accumulator trade, avoiding an
+    O(n) allocation + clear per query)."""
     q = TopKQueue(k, initial_threshold)
-    if not cursors:
+    lists = [x for x in lists if x is not None and len(x[0])]
+    if not lists:
         return q
-    cs = sorted(cursors, key=lambda c: c.max_score, reverse=True)
-    m = len(cs)
+    ls = sorted(lists, key=lambda x: x[2] * x[3], reverse=True)
+    m = len(ls)
     upper = np.zeros(m + 1, dtype=np.float64)
     for i in range(m - 1, -1, -1):
-        upper[i] = upper[i + 1] + cs[i].max_score
+        upper[i] = upper[i + 1] + ls[i][2] * ls[i][3]
 
-    n = len(doc_lens)
-    acc = np.zeros(n, dtype=np.float32)
-    touched = np.zeros(n, dtype=bool)
+    if workspace is not None:
+        acc, touched = workspace
+    else:
+        acc = np.zeros(n, dtype=np.float32)
+        touched = np.zeros(n, dtype=bool)
     threshold = float(np.nextafter(np.float32(initial_threshold),
                                    np.float32(0.0)))
 
@@ -558,12 +567,10 @@ def taat_maxscore(cursors: List[Cursor], doc_lens: np.ndarray, k: int,
     while i < m:
         if touched.any() and upper[i] <= current_threshold():
             break  # remaining lists can't create new top-k entrants alone…
-        c = cs[i]
-        docs, freqs = c.pl.decode()
-        idx = docs.astype(np.int64)
-        acc[idx] += (c.scorer(freqs, doc_lens[idx]) * c.q_weight
-                     ).astype(np.float32)
-        touched[idx] = True
+        docs, scores, _mx, w = ls[i]
+        add = scores if w == 1.0 else (scores * np.float32(w))
+        acc[docs] += add
+        touched[docs] = True
         i += 1
 
     if i < m:
@@ -575,16 +582,16 @@ def taat_maxscore(cursors: List[Cursor], doc_lens: np.ndarray, k: int,
         for j in range(i, m):
             if len(cand) == 0 or not upper[j] > 0:
                 break
-            c = cs[j]
-            docs, freqs = c.pl.decode()
-            pos = np.searchsorted(docs, cand.astype(np.uint64))
+            docs, scores, _mx, w = ls[j]
+            pos = np.searchsorted(docs, cand)
             pos = np.clip(pos, 0, len(docs) - 1)
-            hit = docs[pos] == cand.astype(np.uint64)
+            hit = docs[pos] == cand
             if hit.any():
                 hp = pos[hit]
                 hd = cand[hit]
-                acc[hd] += (c.scorer(freqs[hp], doc_lens[hd])
-                            * c.q_weight).astype(np.float32)
+                add = scores[hp] if w == 1.0 else (scores[hp]
+                                                   * np.float32(w))
+                acc[hd] += add
             # tighten the candidate set with the next remaining bound
             thr = current_threshold()
             cand = cand[acc[cand] + upper[j + 1] > thr]
@@ -593,10 +600,30 @@ def taat_maxscore(cursors: List[Cursor], doc_lens: np.ndarray, k: int,
     if len(candidates) == 0:
         return q
     scores = acc[candidates]
+    if workspace is not None:
+        # leave the workspace zeroed for the next query
+        acc[candidates] = 0.0
+        touched[candidates] = False
     order = np.lexsort((candidates, -scores.astype(np.float64)))[:k]
     for o in order:
         q.insert(float(scores[o]), int(candidates[o]))
     return q
+
+
+def taat_maxscore(cursors: List[Cursor], doc_lens: np.ndarray, k: int,
+                  initial_threshold: float = 0.0) -> TopKQueue:
+    """Vectorized TAAT with MaxScore pruning — the large-corpus serving
+    path.  Decodes + scores each cursor's full list once, then runs the
+    array kernel.  Sound for the same reason as maxscore: bounds are upper
+    bounds.  Rank-identical to ranked_or."""
+    lists = []
+    for c in cursors:
+        docs, freqs = c.pl.decode()
+        idx = docs.astype(np.int64)
+        scores = c.scorer(freqs, doc_lens[idx]).astype(np.float32)
+        lists.append((idx, scores, float(c.pl.max_score),
+                      float(c.q_weight)))
+    return taat_maxscore_arrays(lists, len(doc_lens), k, initial_threshold)
 
 
 ALGORITHMS["taat_maxscore"] = taat_maxscore

@@ -56,6 +56,37 @@ class QueryEngine:
             token_filters=tuple(cfg.get("token_filters", ("lowercase",))),
             stopwords=frozenset(cfg.get("stopwords", ())),
         ))
+        # decoded+scored posting arrays, cached per term per actor — the
+        # vectorized TAAT path then costs one numpy scatter-add per term
+        # per query (the analogue of the reference keeping the mmap'd
+        # index hot).  Capped in postings so a huge vocabulary can't blow
+        # the actor heap; beyond the cap lists are decoded per query.
+        self._scored_cache: Dict[int, tuple] = {}
+        self._scored_cache_postings = 0
+        self.scored_cache_max_postings = 100_000_000  # ~1.2 GB
+        self._taat_ws = None  # reusable (acc, touched) accumulator pair
+
+    def scored_postings(self, term_id: int):
+        """(docs:int64[], scores:float32[], max_score) for one term, from
+        the per-actor cache."""
+        hit = self._scored_cache.get(term_id)
+        if hit is not None:
+            return hit
+        pl = self.index.posting_list(term_id)
+        if pl is None:
+            return None
+        docs, freqs = pl.decode()
+        idx = docs.astype(np.int64)
+        ts = self.scorer.term_scorer(
+            self.index.term_df(term_id), self.index.term_occ(term_id),
+            self.index.stats)
+        scores = ts(freqs, self.index.doc_lens[idx]).astype(np.float32)
+        entry = (idx, scores, float(pl.max_score))
+        if (self._scored_cache_postings + len(idx)
+                <= self.scored_cache_max_postings):
+            self._scored_cache[term_id] = entry
+            self._scored_cache_postings += len(idx)
+        return entry
 
     # -- term processing ----------------------------------------------------
     def parse_query(self, text: str, weighted: bool = False
@@ -78,6 +109,24 @@ class QueryEngine:
         ranges sharing one queue (``range_query<T>`` capability,
         range_query.hpp:8-39)."""
         term_ids, weights = self.parse_query(query, weighted)
+        if algorithm == "taat_maxscore" and not range_size:
+            # serve from the per-actor scored-postings cache: per query
+            # this is pure numpy scatter-adds, no decode
+            from pisa_ray.query.algorithms import taat_maxscore_arrays
+
+            lists = []
+            for i, t in enumerate(term_ids):
+                sp = self.scored_postings(t)
+                if sp is not None:
+                    w = weights[i] if weights else 1.0
+                    lists.append((sp[0], sp[1], sp[2], float(w)))
+            n = len(self.index.doc_lens)
+            if self._taat_ws is None or len(self._taat_ws[0]) != n:
+                self._taat_ws = (np.zeros(n, dtype=np.float32),
+                                 np.zeros(n, dtype=bool))
+            q = taat_maxscore_arrays(lists, n, k, initial_threshold,
+                                     workspace=self._taat_ws)
+            return q.finalize()
         cursors = make_cursors(self.index, term_ids, self.scorer, weights)
         if range_size:
             q = range_query(algorithm, cursors, self.index.doc_lens, k,

@@ -198,6 +198,72 @@ def kth_threshold_estimate(engine: QueryEngine, queries, *, k: int = 10,
     return pd.DataFrame(rows)
 
 
+def _term_doc_scores(engine: QueryEngine, tid: int
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    pl = engine.index.posting_list(tid)
+    if pl is None:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    docs, freqs = pl.decode()
+    ts = engine.scorer.term_scorer(
+        engine.index.term_df(tid), engine.index.term_occ(tid),
+        engine.index.stats)
+    scores = ts(freqs, engine.index.doc_lens[docs.astype(np.int64)])
+    return docs.astype(np.int64), scores.astype(np.float64)
+
+
+def substructure_topk(engine: QueryEngine, term_ids: Sequence[int],
+                      k: int = 10) -> np.ndarray:
+    """Top-k combined scores over the docid INTERSECTION of the terms —
+    one pair/triple "substructure" of the fork's kth_threshold suite
+    (``tools/kth_threshold.cpp:52-154``: cached intersections refine the
+    single-term lower bounds).  Descending, ≤ k values."""
+    docs, scores = _term_doc_scores(engine, int(term_ids[0]))
+    for tid in term_ids[1:]:
+        d2, s2 = _term_doc_scores(engine, int(tid))
+        common, ia, ib = np.intersect1d(docs, d2, assume_unique=True,
+                                        return_indices=True)
+        docs = common
+        scores = scores[ia] + s2[ib]
+        if len(docs) == 0:
+            break
+    return np.sort(scores)[::-1][:k]
+
+
+def kth_threshold_estimate_multi(engine: QueryEngine, queries, *,
+                                 k: int = 10, use_pairs: bool = True,
+                                 use_triples: bool = False,
+                                 term_topk: Optional[Dict[int, List[float]]]
+                                 = None) -> pd.DataFrame:
+    """Threshold lower bounds from single + pair (+ triple) substructures.
+
+    est = max over substructures S ⊆ query of the k-th best Σ_{t∈S}
+    score_t(d) over docs containing ALL of S.  Safe: any doc's full query
+    score dominates its substructure score, so if k docs reach x within a
+    substructure, the true k-th best full score is ≥ x.  Returns
+    (qid, est_threshold, true_threshold, safe)."""
+    rows = []
+    for qid, text in queries:
+        term_ids, _ = engine.parse_query(text)
+        est = 0.0
+        for r, enabled in ((1, True), (2, use_pairs), (3, use_triples)):
+            if not enabled or len(term_ids) < r:
+                continue
+            for subset in itertools.combinations(term_ids, r):
+                if r == 1 and term_topk is not None:
+                    scores = term_topk.get(int(subset[0]), [])
+                    if len(scores) >= k:
+                        est = max(est, scores[k - 1])
+                    continue
+                topk = substructure_topk(engine, subset, k)
+                if len(topk) >= k:
+                    est = max(est, float(topk[k - 1]))
+        true = engine.threshold(text, k=k)
+        rows.append({"qid": qid, "est_threshold": float(est),
+                     "true_threshold": float(true),
+                     "safe": bool(est <= true + 1e-9)})
+    return pd.DataFrame(rows)
+
+
 _TOOL_CACHE: Dict = {}
 
 

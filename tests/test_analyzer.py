@@ -31,9 +31,9 @@ def test_strip_html():
     assert az.analyze("<p>Hello <b>World</b></p>") == ["hello", "world"]
 
 
-def test_krovetz_unavailable():
-    with pytest.raises(NotImplementedError):
-        AnalyzerConfig(token_filters=("krovetz",))
+def test_krovetz_selectable():
+    az = TextAnalyzer(AnalyzerConfig(token_filters=("lowercase", "krovetz")))
+    assert az.analyze("Dogs running") == ["dog", "run"]
 
 
 def test_count_batch_matches_counter():

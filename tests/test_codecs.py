@@ -7,18 +7,23 @@ from pisa_ray.codecs import get_codec
 from pisa_ray.index.postings import encode_segment, SegmentView
 
 
-@pytest.mark.parametrize("codec", ["bitpack", "varbyte"])
+BLOCK_CODECS = ["bitpack", "varbyte", "streamvbyte", "simple8b", "optpfor"]
+MONO_CODECS = ["ef", "pefuniform", "interpolative"]
+
+
+@pytest.mark.parametrize("codec", BLOCK_CODECS)
 def test_roundtrip_simple(codec):
     enc, dec = get_codec(codec)
-    for arr in ([0], [1, 2, 3], [0, 0, 0], [2**32 - 1], list(range(200))):
+    top = 2**32 - 1 if codec != "simple8b" else 2**31 - 1
+    for arr in ([0], [1, 2, 3], [0, 0, 0], [top], list(range(200))):
         a = np.array(arr, dtype=np.uint32)
         assert list(dec(enc(a), len(a))) == arr
 
 
-@pytest.mark.parametrize("codec", ["bitpack", "varbyte"])
+@pytest.mark.parametrize("codec", BLOCK_CODECS)
 @settings(max_examples=50, deadline=None)
-@given(st.lists(st.integers(min_value=0, max_value=2**32 - 1),
-                min_size=1, max_size=300))
+@given(st.lists(st.integers(min_value=0, max_value=2**31 - 1),
+                min_size=1, max_size=256))
 def test_roundtrip_property(codec, values):
     enc, dec = get_codec(codec)
     a = np.array(values, dtype=np.uint32)
@@ -27,11 +32,37 @@ def test_roundtrip_property(codec, values):
     assert list(out) == values
 
 
+@pytest.mark.parametrize("codec", MONO_CODECS)
+@settings(max_examples=40, deadline=None)
+@given(values=st.sets(st.integers(min_value=0, max_value=10**9), min_size=1,
+                      max_size=400))
+def test_monotone_roundtrip_property(codec, values):
+    enc, dec = get_codec(codec)
+    vals = np.array(sorted(values), dtype=np.uint64)
+    out = dec(enc(vals), len(vals))
+    assert list(out) == list(vals)
+
+
 def test_empty():
-    for codec in ("bitpack", "varbyte"):
+    for codec in BLOCK_CODECS + MONO_CODECS:
         enc, dec = get_codec(codec)
         assert enc(np.empty(0, dtype=np.uint32)) == b""
         assert len(dec(b"", 0)) == 0
+
+
+@pytest.mark.parametrize("codec", ["streamvbyte", "simple8b", "optpfor",
+                                   "pefuniform", "interpolative"])
+@settings(max_examples=20, deadline=None)
+@given(docset=st.sets(st.integers(min_value=0, max_value=10**6), min_size=1,
+                      max_size=500),
+       tf_base=st.integers(min_value=1, max_value=7))
+def test_segment_roundtrip_new_codecs(codec, docset, tf_base):
+    docs = np.array(sorted(docset), dtype=np.uint64)
+    tfs = (np.arange(len(docs)) % tf_base + 1).astype(np.uint32)
+    row = encode_segment(docs, tfs, None, block_size=128, codec=codec)
+    view = SegmentView(row, codec=codec)
+    assert list(view.decode_docs()) == list(docs)
+    assert list(view.decode_freqs()) == list(tfs)
 
 
 @settings(max_examples=30, deadline=None)

@@ -1,0 +1,90 @@
+"""Krovetz (rule-subset) stemmer tests — hand-computed expectations for
+the documented inflectional rules, plus analyzer-chain wiring."""
+
+import numpy as np
+import pytest
+
+from pisa_ray.analysis.kstem import krovetz_stem
+
+
+@pytest.mark.parametrize("word,want", [
+    # plural
+    ("flies", "fly"),
+    ("churches", "church"),
+    ("classes", "class"),
+    ("makes", "make"),
+    ("dogs", "dog"),
+    ("glass", "glass"),      # -ss kept
+    ("corpus", "corpus"),    # -us kept
+    ("its", "its"),          # too short to strip
+    # past tense
+    ("tried", "try"),
+    ("stopped", "stop"),
+    ("hoped", "hope"),
+    ("created", "create"),
+    ("walked", "walk"),
+    # aspect
+    ("running", "run"),
+    ("making", "make"),
+    ("walking", "walk"),
+    ("string", "string"),    # too short for -ing strip (len<6)... actually 6
+    # non-candidates
+    ("the", "the"),
+    ("a", "a"),
+    ("x1b", "x1b"),          # non-alpha passes through
+])
+def test_krovetz_rules(word, want):
+    assert krovetz_stem(word) == want
+
+
+def test_krovetz_idempotent_on_stems():
+    for w in ["run", "make", "walk", "church", "fly", "hope"]:
+        assert krovetz_stem(krovetz_stem(w)) == krovetz_stem(w)
+
+
+def test_analyzer_chain_krovetz():
+    from pisa_ray.analysis.analyzer import AnalyzerConfig, TextAnalyzer
+
+    an = TextAnalyzer(AnalyzerConfig(
+        tokenizer="english", token_filters=("lowercase", "krovetz")))
+    toks = an.analyze("The dogs were running and the cats tried flies")
+    assert "run" in toks and "try" in toks and "fly" in toks and "dog" in toks
+
+
+def test_krovetz_index_build_matches_hand_oracle(ray_session, tmp_path):
+    """An index built with the krovetz chain has lexicon == hand-stemmed
+    vocabulary and postings consistent with per-doc stemmed counts."""
+    import collections
+
+    import pyarrow as pa
+    import ray.data
+
+    from pisa_ray.index.build import IndexConfig, build_index
+    from pisa_ray.index.reader import InvertedIndex
+
+    texts = ["dogs running fast", "the dog ran", "flies tried flying",
+             "running dogs and flies"]
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    }))
+    out = str(tmp_path / "kidx")
+    build_index(corpus, out, config=IndexConfig(
+        token_filters=("lowercase", "krovetz"), num_shards=1))
+    idx = InvertedIndex(out)
+
+    # hand oracle with the same public rule set
+    postings = collections.defaultdict(list)
+    for d, t in enumerate(texts):
+        counts = collections.Counter(
+            krovetz_stem(w) for w in t.lower().split())
+        for term, tf in counts.items():
+            postings[term].append((d, tf))
+    vocab = sorted(postings)
+    got_terms = [t.as_py() for t in idx.terms]
+    assert got_terms == vocab
+    for tid, term in enumerate(vocab):
+        docs, freqs = idx.posting_list(tid).decode()
+        want = sorted(postings[term])
+        assert list(zip(docs, freqs)) == [(np.uint64(d), np.uint32(f))
+                                          for d, f in want]

@@ -92,6 +92,35 @@ def test_kth_threshold_estimate_safe(toolbox, ray_session):
     assert df["safe"].all()  # the estimate is a lower bound, always
 
 
+def test_kth_threshold_pairs_safe_and_tighter(toolbox):
+    from pisa_ray.tools import (kth_threshold_estimate,
+                                kth_threshold_estimate_multi,
+                                substructure_topk)
+
+    eng, oracle, out = toolbox
+    queries = [("q1", "thehot term001"), ("q2", "term001 term005 thehot"),
+               ("q3", "term000"), ("q4", "zzz yyy")]
+    singles = kth_threshold_estimate(eng, queries, k=5)
+    multi = kth_threshold_estimate_multi(eng, queries, k=5, use_pairs=True,
+                                         use_triples=True)
+    # safety: every substructure estimate is a true lower bound
+    assert multi["safe"].all()
+    # monotonicity: adding pair/triple substructures never loosens
+    assert (multi["est_threshold"].to_numpy()
+            >= singles["est_threshold"].to_numpy() - 1e-9).all()
+    # pair substructure top-k matches brute force on one pair
+    ta = oracle.term_to_id["thehot"]
+    tb = oracle.term_to_id["term001"]
+    got = substructure_topk(eng, [ta, tb], k=5)
+    docs_a = {d: oracle.bm25_weight(tf, d, oracle.df[ta])
+              for d, tf in oracle.postings[ta]}
+    docs_b = {d: oracle.bm25_weight(tf, d, oracle.df[tb])
+              for d, tf in oracle.postings[tb]}
+    common = sorted(set(docs_a) & set(docs_b))
+    want = sorted((docs_a[d] + docs_b[d] for d in common), reverse=True)[:5]
+    assert list(got) == pytest.approx(want, rel=1e-5)
+
+
 def test_quantized_index(ray_session, tmp_path):
     """Quantized build: freqs hold 8-bit quantized impact scores; the
     quantized scorer reproduces a close top-k (reference: quantized index
