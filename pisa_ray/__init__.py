@@ -12,4 +12,13 @@ zero-copy Arrow batches, actor pools for stateful stages, and explicit
 groupby/sort shuffles for the wide steps.
 """
 
+import os as _os
+
+# Cap polars' internal thread pool before any worker imports it: every
+# map_batches task runs under num_cpus=1, and an uncapped Rust pool per
+# task oversubscribes the node.  Export POLARS_MAX_THREADS yourself to
+# override (read once at polars import).
+_os.environ.setdefault("POLARS_MAX_THREADS", "1")
+
+
 __version__ = "0.1.0"

@@ -49,6 +49,10 @@ class AnalyzerConfig:
 _ASCII_LOWER = str.maketrans(
     "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
 
+# english lexer pattern in Rust-regex flavor (leftmost-first alternation,
+# same as Python re) for the polars fast path
+_ENGLISH_PAT = r"(?:[a-zA-Z]+\.){2,}|[a-zA-Z0-9]+'[a-zA-Z]+|[a-zA-Z0-9]+"
+
 
 class TextAnalyzer:
     """Stateful analyzer; build once per actor, call per document/batch."""
@@ -67,6 +71,17 @@ class TextAnalyzer:
         self._stem = self._stem_fn is not None
         self._stem_cache: dict = {}
         self._stop = self.config.stopwords
+        # polars fast path: the whole tokenize→normalize→lowercase→count
+        # chain is expressible as vectorized Rust string kernels exactly
+        # when no stemmer/stopwords are configured.  This matters beyond
+        # raw speed: the Python path allocates millions of small token
+        # objects per batch, and page-fault handling on the target boxes
+        # degrades under many-core contention — Rust columnar allocation
+        # sidesteps it.  Byte-parity with the Python chain is
+        # property-tested (tests/test_analyzer.py).
+        self._polars_ok = (self.config.tokenizer == "english"
+                           and self._lower and not self._stem
+                           and not self._stop)
 
     # -- single document ----------------------------------------------------
     def analyze(self, text: str) -> List[str]:
@@ -96,6 +111,53 @@ class TextAnalyzer:
             stop = self._stop
             toks = [t for t in toks if t not in stop]
         return toks
+
+    # -- batch → per-(doc, term) counts, polars fast path -------------------
+    def count_batch_fast(self, texts):
+        """Vectorized tokenize+count for the english/lowercase chain.
+
+        Returns ``(doc_idx: int64[], terms: pyarrow.Array, tfs: uint32[],
+        doc_lens: uint32[])`` — same contents as ``count_batch`` (rows
+        sorted by (doc, term)), with terms as an Arrow string array that
+        never materializes Python token objects.  Only valid when
+        ``self.fast_path`` is True."""
+        import os as _os
+
+        _os.environ.setdefault("POLARS_MAX_THREADS", "1")
+        import polars as pl
+
+        if self.config.strip_html:
+            texts = [html_to_text(t if t is not None else "")
+                     for t in texts]
+        else:
+            texts = [t if t is not None else "" for t in texts]
+        df = pl.DataFrame({
+            "doc": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+        })
+        g = (df.lazy()
+             .with_columns(pl.col("text").str.extract_all(_ENGLISH_PAT)
+                           .alias("tok"))
+             .drop("text")
+             .explode("tok")
+             .drop_nulls()
+             .with_columns(pl.col("tok")
+                           .str.replace_all(".", "", literal=True)
+                           .str.replace(r"'.*$", "")
+                           .str.to_lowercase())
+             .group_by(["doc", "tok"]).agg(pl.len().alias("tf"))
+             .sort(["doc", "tok"])
+             .collect())
+        doc_idx = g["doc"].to_numpy().astype(np.int64, copy=False)
+        tfs = g["tf"].to_numpy().astype(np.uint32, copy=False)
+        terms = g["tok"].to_arrow()
+        doc_lens = np.bincount(doc_idx, weights=tfs,
+                               minlength=len(texts)).astype(np.uint32)
+        return doc_idx, terms, tfs, doc_lens
+
+    @property
+    def fast_path(self) -> bool:
+        return self._polars_ok
 
     # -- batch → per-(doc, term) counts -------------------------------------
     def count_batch(self, texts) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

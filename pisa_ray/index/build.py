@@ -221,7 +221,19 @@ class AnalyzeCountTokens:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
-        doc_idx, terms, tfs, doc_lens = self.analyzer.count_batch(texts)
+        if self.analyzer.fast_path:
+            doc_idx, terms_arr, tfs, doc_lens = \
+                self.analyzer.count_batch_fast(texts)
+            term_col = pa.array(terms_arr.to_pylist(), type=pa.string()) \
+                if not isinstance(terms_arr, (pa.Array, pa.ChunkedArray)) \
+                else terms_arr
+            if isinstance(term_col, pa.ChunkedArray):
+                term_col = term_col.combine_chunks()
+            if term_col.type != pa.string():
+                term_col = term_col.cast(pa.string())
+        else:
+            doc_idx, terms, tfs, doc_lens = self.analyzer.count_batch(texts)
+            term_col = pa.array(terms.astype(str), type=pa.string())
         if self.id_col is not None:
             doc_ids_all = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         elif self.url_to_doc is not None:
@@ -236,13 +248,13 @@ class AnalyzeCountTokens:
             return pa.table({
                 self.url_col: pa.array([urls[i] for i in doc_idx],
                                        type=pa.string()),
-                "term": pa.array(terms.astype(str), type=pa.string()),
+                "term": term_col,
                 "tf": pa.array(tfs, type=pa.uint32()),
                 "doc_len": pa.array(doc_lens[doc_idx], type=pa.uint32()),
             })
         return pa.table({
             "doc_id": pa.array(doc_ids_all[doc_idx], type=pa.uint64()),
-            "term": pa.array(terms.astype(str), type=pa.string()),
+            "term": term_col,
             "tf": pa.array(tfs, type=pa.uint32()),
             "doc_len": pa.array(doc_lens[doc_idx], type=pa.uint32()),
         })

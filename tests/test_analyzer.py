@@ -89,3 +89,29 @@ def test_html_to_text_never_crashes(s):
     assert isinstance(out, str)
     out2 = html_to_text(("<p>" + s + "</p>").encode("utf-8", "ignore"))
     assert isinstance(out2, str)
+
+
+def test_count_batch_fast_parity_fuzz():
+    """The polars fast path reproduces count_batch exactly — tokens,
+    counts, order — including on unicode fuzz input."""
+    import random
+
+    an = TextAnalyzer(AnalyzerConfig())
+    assert an.fast_path
+    random.seed(7)
+    chars = "aA zZ09.'İKé世<>&; \t\n"
+    texts = ["U.S.A. dog's it's a1b2 Foo.Bar.",
+             "", "   ", "don't STOP k2",
+             *("".join(random.choice(chars) for _ in range(150))
+               for _ in range(100))]
+    d1, t1, f1, l1 = an.count_batch(texts)
+    d2, t2, f2, l2 = an.count_batch_fast(texts)
+    assert list(d1) == list(d2)
+    assert [str(x) for x in t1] == t2.to_pylist()
+    assert list(f1) == list(f2)
+    assert list(l1) == list(l2)
+
+
+def test_count_batch_fast_disabled_with_stemmer():
+    an = TextAnalyzer(AnalyzerConfig(token_filters=("lowercase", "porter2")))
+    assert not an.fast_path
