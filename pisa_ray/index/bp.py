@@ -170,7 +170,8 @@ def bp_mapping_from_fwd(fwd_dir: str, *, iterations: int = 20,
     files = sorted(glob.glob(os.path.join(fwd_dir, "*.parquet")))
     tbl = pa.concat_tables(
         [pq.read_table(f, columns=["doc_id", "term"]) for f in files])
-    terms = tbl["term"].combine_chunks()
+    # fwd checkpoints may carry dictionary-encoded terms
+    terms = tbl["term"].cast(pa.string()).combine_chunks()
     uniq = terms.unique().sort()
     import pyarrow.compute as pc
 

@@ -234,6 +234,11 @@ class AnalyzeCountTokens:
         else:
             doc_idx, terms, tfs, doc_lens = self.analyzer.count_batch(texts)
             term_col = pa.array(terms.astype(str), type=pa.string())
+        # dictionary-encode the term column: downstream term→id remaps then
+        # hash only each batch's small vocabulary (~5k strings) instead of
+        # every posting row (~75k) — under full-node concurrency the
+        # per-row string hashing was the single hottest spot in the build
+        term_col = term_col.dictionary_encode()
         if self.id_col is not None:
             doc_ids_all = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         elif self.url_to_doc is not None:
@@ -343,12 +348,44 @@ def _partial_both(tokens: pa.Table) -> pa.Table:
 # stage 2: lexicon (partial agg inside map_batches → small groupby → rank)
 
 def _partial_term_stats(batch: pa.Table) -> pa.Table:
-    g = pa.TableGroupBy(batch.select(["term", "tf"]), "term").aggregate(
-        [("tf", "count"), ("tf", "sum")])
-    return pa.table({
-        "term": g.column("term"),
-        "df_part": pc.cast(g.column("tf_count"), pa.int64()),
-        "occ_part": pc.cast(g.column("tf_sum"), pa.int64()),
+    """Per-batch (term, df_part, occ_part) partials.  Dictionary-encoded
+    term chunks aggregate by ``np.bincount`` over the indices — no per-row
+    string hashing; duplicate terms across chunks are fine (downstream
+    sums partials)."""
+    col = batch["term"]
+    tf_all = batch["tf"].to_numpy(zero_copy_only=False)
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    parts = []
+    off = 0
+    for c in chunks:
+        n = len(c)
+        tfc = tf_all[off:off + n]
+        off += n
+        if pa.types.is_dictionary(c.type):
+            idx = c.indices.to_numpy(zero_copy_only=False)
+            k = len(c.dictionary)
+            dfp = np.bincount(idx, minlength=k)
+            occ = np.bincount(idx, weights=tfc, minlength=k) \
+                .astype(np.int64)
+            nz = np.flatnonzero(dfp)
+            parts.append(pa.table({
+                "term": c.dictionary.take(pa.array(nz)).cast(pa.string()),
+                "df_part": pa.array(dfp[nz], type=pa.int64()),
+                "occ_part": pa.array(occ[nz], type=pa.int64()),
+            }))
+        else:
+            t = pa.table({"term": c, "tf": pa.array(tfc)})
+            g = pa.TableGroupBy(t, "term").aggregate(
+                [("tf", "count"), ("tf", "sum")])
+            parts.append(pa.table({
+                "term": g.column("term").cast(pa.string()),
+                "df_part": pc.cast(g.column("tf_count"), pa.int64()),
+                "occ_part": pc.cast(g.column("tf_sum"), pa.int64()),
+            }))
+    return pa.concat_tables(parts) if parts else pa.table({
+        "term": pa.array([], type=pa.string()),
+        "df_part": pa.array([], type=pa.int64()),
+        "occ_part": pa.array([], type=pa.int64()),
     })
 
 
@@ -388,6 +425,30 @@ def _cached_get(ref):
     return val
 
 
+def term_ids_from_column(col, terms) -> np.ndarray:
+    """term→term_id (uint64) for a string OR dictionary-encoded column.
+
+    Dictionary chunks remap only their (small) dictionary through
+    ``pc.index_in`` and gather per-row ids with one numpy take — per-row
+    string hashing was the hottest kernel in the whole build under
+    many-core concurrency."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    out = np.empty(sum(len(c) for c in chunks), dtype=np.uint64)
+    off = 0
+    for c in chunks:
+        n = len(c)
+        if pa.types.is_dictionary(c.type):
+            dmap = pc.index_in(c.dictionary, value_set=terms) \
+                .to_numpy(zero_copy_only=False).astype(np.uint64)
+            idx = c.indices.to_numpy(zero_copy_only=False)
+            out[off:off + n] = dmap[idx]
+        else:
+            out[off:off + n] = pc.index_in(c, value_set=terms) \
+                .to_numpy(zero_copy_only=False).astype(np.uint64)
+        off += n
+    return out
+
+
 def map_term_ids(batch: pa.Table, *, terms_ref, doc_id_bits: int = 0) -> pa.Table:
     """Vectorized term→term_id: ``pc.index_in`` against the sorted lexicon
     (position in the sorted value_set IS the term id).  At 10^9-term scale,
@@ -397,18 +458,18 @@ def map_term_ids(batch: pa.Table, *, terms_ref, doc_id_bits: int = 0) -> pa.Tabl
     u64 ``sort_key`` so the shuffle sorts one numeric column (see
     IndexConfig.doc_id_bits); the encoder unpacks them."""
     terms = _cached_get(terms_ref)
-    ids = pc.index_in(batch["term"], value_set=terms)
+    tid = term_ids_from_column(batch["term"], terms)
     if doc_id_bits:
-        key = pc.bit_wise_or(
-            pc.shift_left(pc.cast(ids, pa.uint64()), doc_id_bits),
-            pc.cast(batch["doc_id"], pa.uint64()))
+        did = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64, copy=False)
+        key = (tid << np.uint64(doc_id_bits)) | did
         return pa.table({
-            "sort_key": key,
+            "sort_key": pa.array(key, type=pa.uint64()),
             "tf": batch["tf"],
             "doc_len": batch["doc_len"],
         })
     return pa.table({
-        "term_id": pc.cast(ids, pa.uint32()),
+        "term_id": pa.array(tid.astype(np.uint32), type=pa.uint32()),
         "doc_id": batch["doc_id"],
         "tf": batch["tf"],
         "doc_len": batch["doc_len"],
@@ -807,8 +868,8 @@ def build_index(
                          else np.float64)
                 sc = make_scorer(config.scorer, dtype=dtype,
                                  **dict(config.scorer_params))
-                tids = pc.index_in(t["term"], value_set=_cached_get(terms_ref))
-                tids = tids.to_numpy(zero_copy_only=False)
+                tids = term_ids_from_column(
+                    t["term"], _cached_get(terms_ref)).astype(np.int64)
                 tfs_np = t["tf"].to_numpy(zero_copy_only=False)
                 dls = t["doc_len"].to_numpy(zero_copy_only=False)
                 mx = 0.0
