@@ -146,9 +146,12 @@ def ngram_jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.1,
             uniq = sorted(set(_word_shingles(t, n)))
             ids.extend([d] * len(uniq))
             shs.extend(uniq)
+        grp = (_stable_u64_column(shs) & np.uint64((1 << 10) - 1)) \
+            .astype(np.int32) if shs else np.empty(0, dtype=np.int32)
         return pa.table({
             "doc_id": pa.array(ids, type=pa.int64()),
             "shingle": pa.array(shs, type=pa.string()),
+            "grp": pa.array(grp, type=pa.int32()),
         })
 
     shingles = ds.map_batches(shingle_rows, batch_format="pyarrow")
@@ -160,13 +163,33 @@ def ngram_jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.1,
     sizes_ds = shingles.groupby("doc_id").aggregate(Count(alias_name="n_sh"))
 
     def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        docs = np.sort(group["doc_id"].to_numpy())
-        if len(docs) < 2 or len(docs) > max_group_docs:
-            return pd.DataFrame({"a": [], "b": []})
-        ii, jj = np.triu_indices(len(docs), k=1)
-        return pd.DataFrame({"a": docs[ii], "b": docs[jj]})
+        # one coarse hash group; exact shingle runs found with np.unique
+        # (per-SHINGLE map_groups would be one Python call per near-
+        # singleton group)
+        sh = group["shingle"].to_numpy()
+        d = group["doc_id"].to_numpy()
+        o = np.argsort(sh, kind="stable")
+        sh, d = sh[o], d[o]
+        new = np.empty(len(sh), dtype=bool)
+        new[0] = True
+        np.not_equal(sh[1:], sh[:-1], out=new[1:])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(sh)))
+        out_a, out_b = [], []
+        for s, z in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+            if z > max_group_docs:
+                continue
+            docs = np.sort(d[s: s + z])
+            ii, jj = np.triu_indices(len(docs), k=1)
+            out_a.append(docs[ii])
+            out_b.append(docs[jj])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)})
 
-    pairs = shingles.groupby("shingle").map_groups(
+    pairs = shingles.groupby("grp").map_groups(
         emit_pairs, batch_format="pandas")
     inter = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="inter"))
 
@@ -245,6 +268,14 @@ def minhash_signatures(ds, *, num_perm: int = 64, n: int = 3, seed: int = 7,
     return ds.map_batches(sig_batch, batch_format="pyarrow")
 
 
+# Group-count control for bucket-pair emission: grouping by exact
+# (band, bucket) makes one Python map_groups call per ~singleton group
+# (hundreds of thousands of them).  Instead rows group by a COARSE key
+# (band + low bucket bits) — few thousand groups — and the exact-bucket
+# pairing runs vectorized inside each group.
+_COARSE_BITS = 8
+
+
 def _band_rows_fn(bands: int, rows_per_band: int):
     def band_rows(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -256,27 +287,69 @@ def _band_rows_fn(bands: int, rows_per_band: int):
         # one vectorized mix per band instead of a per-(doc, band) blake2b
         buckets = np.stack([
             _mix_rows_u64(mat[:, bnd, :]) for bnd in range(bands)], axis=1)
+        band_col = np.tile(np.arange(bands, dtype=np.int64), D)
+        bucket_col = (buckets.reshape(-1) >> np.uint64(1)).astype(np.int64)
+        coarse = (band_col << _COARSE_BITS) \
+            | (bucket_col & ((1 << _COARSE_BITS) - 1))
         return pa.table({
             "doc_id": pa.array(np.repeat(ids, bands), type=pa.int64()),
-            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), D),
-                             type=pa.int32()),
-            "bucket": pa.array((buckets.reshape(-1) >> np.uint64(1))
-                               .astype(np.int64), type=pa.int64()),
+            "band": pa.array(band_col.astype(np.int32), type=pa.int32()),
+            "bucket": pa.array(bucket_col, type=pa.int64()),
+            "grp": pa.array(coarse.astype(np.int32), type=pa.int32()),
         })
     return band_rows
 
 
+def _emit_bucket_pairs(group) -> "pa.Table":
+    """Vectorized pair emission for ONE coarse group: find exact
+    (band, bucket) runs with a lexsort, emit triangular pairs only for the
+    (rare) runs holding ≥2 docs."""
+    import pandas as pd
+
+    b = group["band"].to_numpy()
+    k = group["bucket"].to_numpy()
+    d = group["doc_id"].to_numpy()
+    o = np.lexsort((d, k, b))
+    b, k, d = b[o], k[o], d[o]
+    new = np.empty(len(b), dtype=bool)
+    new[0] = True
+    np.not_equal(k[1:], k[:-1], out=new[1:])
+    np.logical_or(new[1:], b[1:] != b[:-1], out=new[1:])
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.append(starts, len(b)))
+    out_a, out_b = [], []
+    for s, z in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+        docs = np.unique(d[s: s + z])
+        if len(docs) < 2:
+            continue
+        ii, jj = np.triu_indices(len(docs), k=1)
+        out_a.append(docs[ii])
+        out_b.append(docs[jj])
+    if not out_a:
+        return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                             "b": pd.Series([], dtype=np.int64)})
+    return pd.DataFrame({"a": np.concatenate(out_a),
+                         "b": np.concatenate(out_b)})
+
+
 def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16, n: int = 3,
                       seed: int = 7, text_col: str = "text",
-                      id_col: str = "doc_id", verify_threshold: float = 0.5):
-    """MinHash-LSH candidate pairs, verified by signature similarity.
+                      id_col: str = "doc_id", verify_threshold: float = 0.5,
+                      verify_mode: str = "carry"):
+    """MinHash-LSH near-dup pairs, verified by signature similarity
+    (fraction of equal components ≥ τ).
 
-    signatures → explode to (band, bucket, doc_id) rows → groupby(band,
-    bucket) pair emission → distinct pairs → JOIN each side back to the
-    signature dataset and verify estimated Jaccard (fraction of equal
-    signature components) ≥ τ.  Banding is linear in docs; the verify step
-    ships signatures only for candidate pairs — round 1's broadcast of the
-    full signature matrix (512 GB at 10^9 docs × 64 perms) is gone.
+    ``verify_mode="carry"`` (default): the packed signature rides through
+    the banding shuffle, so candidate emission AND verification happen
+    inside the bucket groups — three distributed ops total (signatures →
+    groupby(bucket-group) → distinct-aggregate).  The extra shuffle volume
+    is bands × sig bytes per doc (linear in docs, distributed).
+
+    ``verify_mode="join"``: banding ships only (band, bucket, doc_id);
+    candidate pairs JOIN back to the signature dataset for verification —
+    minimal shuffle bytes, the extreme-scale mode.  Both modes avoid any
+    whole-dataset driver/broadcast materialization (round 1's broadcast of
+    the full signature matrix — 512 GB at 10^9 docs — is gone).
     """
     import pandas as pd
 
@@ -284,20 +357,99 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16, n: int = 3,
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(ds, num_perm=num_perm, n=n, seed=seed,
                               text_col=text_col, id_col=id_col)
+
+    if verify_mode == "carry":
+        def band_sig_rows(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            sig_flat = np.asarray(
+                batch["sig"].combine_chunks().flatten().to_numpy(
+                    zero_copy_only=False), dtype=np.uint64)
+            D = len(ids)
+            mat = sig_flat.reshape(D, bands, rows_per_band)
+            buckets = np.stack([
+                _mix_rows_u64(mat[:, bnd, :]) for bnd in range(bands)],
+                axis=1)
+            band_col = np.tile(np.arange(bands, dtype=np.int64), D)
+            bucket_col = (buckets.reshape(-1) >> np.uint64(1)) \
+                .astype(np.int64)
+            coarse = ((band_col << _COARSE_BITS)
+                      | (bucket_col & ((1 << _COARSE_BITS) - 1))) \
+                .astype(np.int32)
+            sig_bytes = sig_flat.reshape(D, num_perm)
+            sigb = np.asarray([sig_bytes[i].tobytes() for i in range(D)],
+                              dtype=object)
+            return pa.table({
+                "doc_id": pa.array(np.repeat(ids, bands), type=pa.int64()),
+                "band": pa.array(band_col.astype(np.int32), type=pa.int32()),
+                "bucket": pa.array(bucket_col, type=pa.int64()),
+                "grp": pa.array(coarse, type=pa.int32()),
+                "sigb": pa.array(np.repeat(sigb, bands), type=pa.binary()),
+            })
+
+        banded = sigs.map_batches(band_sig_rows, batch_format="pyarrow")
+
+        def emit_verified(group: pd.DataFrame) -> pd.DataFrame:
+            b = group["band"].to_numpy()
+            k = group["bucket"].to_numpy()
+            d = group["doc_id"].to_numpy()
+            sraw = group["sigb"].to_numpy()
+            o = np.lexsort((d, k, b))
+            b, k, d, sraw = b[o], k[o], d[o], sraw[o]
+            new = np.empty(len(b), dtype=bool)
+            new[0] = True
+            np.not_equal(k[1:], k[:-1], out=new[1:])
+            np.logical_or(new[1:], b[1:] != b[:-1], out=new[1:])
+            starts = np.flatnonzero(new)
+            sizes = np.diff(np.append(starts, len(b)))
+            oa, ob, oe = [], [], []
+            for s, z in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+                dd, idx = np.unique(d[s: s + z], return_index=True)
+                if len(dd) < 2:
+                    continue
+                smat = np.frombuffer(
+                    b"".join(sraw[s: s + z][idx]),
+                    dtype=np.uint64).reshape(len(dd), num_perm)
+                ii, jj = np.triu_indices(len(dd), k=1)
+                est = (smat[ii] == smat[jj]).mean(axis=1)
+                keep = est >= verify_threshold
+                oa.append(dd[ii][keep])
+                ob.append(dd[jj][keep])
+                oe.append(est[keep])
+            if not oa:
+                return pd.DataFrame({
+                    "doc_a": pd.Series([], dtype=np.int64),
+                    "doc_b": pd.Series([], dtype=np.int64),
+                    "est_jaccard": pd.Series([], dtype=np.float64)})
+            return pd.DataFrame({
+                "doc_a": np.concatenate(oa),
+                "doc_b": np.concatenate(ob),
+                "est_jaccard": round_half_away(np.concatenate(oe), 6)})
+
+        verified = banded.groupby("grp").map_groups(
+            emit_verified, batch_format="pandas")
+        from ray.data.aggregate import Min
+
+        dedup = verified.groupby(["doc_a", "doc_b"]).aggregate(
+            Min("est_jaccard", alias_name="est_min"))
+        return dedup.map_batches(
+            lambda t: pa.table({
+                "doc_a": pc.cast(t["doc_a"], pa.int64()),
+                "doc_b": pc.cast(t["doc_b"], pa.int64()),
+                "est_jaccard": pc.cast(t["est_min"], pa.float64()),
+            }),
+            batch_format="pyarrow")
+
     banded = sigs.map_batches(_band_rows_fn(bands, rows_per_band),
                               batch_format="pyarrow")
 
-    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        docs = np.sort(group["doc_id"].unique())
-        if len(docs) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        ii, jj = np.triu_indices(len(docs), k=1)
-        return pd.DataFrame({"a": docs[ii], "b": docs[jj]})
+    pairs = banded.groupby("grp").map_groups(
+        _emit_bucket_pairs, batch_format="pandas")
+    # distinct pairs via the vectorized hash aggregate (a map_groups
+    # head(1) would again be one Python call per pair)
+    from ray.data.aggregate import Count
 
-    pairs = banded.groupby(["band", "bucket"]).map_groups(
-        emit_pairs, batch_format="pandas")
-    uniq = pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    uniq = pairs.groupby(["a", "b"]).aggregate(
+        Count(alias_name="_n")).drop_columns(["_n"])
 
     # join payloads must be binary, not list<u64> (Arrow's hash join
     # rejects list non-key fields) — pack each signature to bytes
@@ -456,32 +608,69 @@ def simhash_pairs(ds, *, max_hamming: int = 3, text_col: str = "text",
         for bnd in range(4):
             chunk = (h >> np.uint64(16 * bnd)) & np.uint64(0xFFFF)
             out_i.append(ids)
-            out_b.append(np.full(len(ids), bnd, dtype=np.int32))
+            out_b.append(np.full(len(ids), bnd, dtype=np.int64))
             out_k.append(chunk.astype(np.int64))
             out_h.append(h)
+        band_col = np.concatenate(out_b)
+        key_col = np.concatenate(out_k)
+        coarse = ((band_col << _COARSE_BITS)
+                  | (key_col & ((1 << _COARSE_BITS) - 1))).astype(np.int32)
         return pa.table({
             "doc_id": pa.array(np.concatenate(out_i), type=pa.int64()),
-            "band": pa.array(np.concatenate(out_b), type=pa.int32()),
-            "key": pa.array(np.concatenate(out_k), type=pa.int64()),
+            "band": pa.array(band_col.astype(np.int32), type=pa.int32()),
+            "key": pa.array(key_col, type=pa.int64()),
+            "grp": pa.array(coarse, type=pa.int32()),
             "simhash": pa.array(np.concatenate(out_h), type=pa.uint64()),
         })
 
     banded = fps.map_batches(band_rows, batch_format="pyarrow")
 
     def emit_verified(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("doc_id").sort_values("doc_id")
-        docs = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.uint64)
-        if len(docs) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        ii, jj = np.triu_indices(len(docs), k=1)
-        x = hs[ii] ^ hs[jj]
-        ham = np.array([bin(int(v)).count("1") for v in x])
-        keep = ham <= max_hamming
-        return pd.DataFrame({"doc_a": docs[ii][keep], "doc_b": docs[jj][keep],
-                             "hamming": ham[keep]})
+        # vectorized exact-(band, key) runs inside one coarse group
+        b = group["band"].to_numpy()
+        k = group["key"].to_numpy()
+        d = group["doc_id"].to_numpy()
+        h = group["simhash"].to_numpy().astype(np.uint64)
+        o = np.lexsort((d, k, b))
+        b, k, d, h = b[o], k[o], d[o], h[o]
+        new = np.empty(len(b), dtype=bool)
+        new[0] = True
+        np.not_equal(k[1:], k[:-1], out=new[1:])
+        np.logical_or(new[1:], b[1:] != b[:-1], out=new[1:])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(b)))
+        das, dbs, hams = [], [], []
+        for s, z in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+            dd, idx = np.unique(d[s: s + z], return_index=True)
+            if len(dd) < 2:
+                continue
+            hh = h[s: s + z][idx]
+            ii, jj = np.triu_indices(len(dd), k=1)
+            x = hh[ii] ^ hh[jj]
+            ham = np.array([bin(int(v)).count("1") for v in x])
+            keep = ham <= max_hamming
+            das.append(dd[ii][keep])
+            dbs.append(dd[jj][keep])
+            hams.append(ham[keep])
+        if not das:
+            return pd.DataFrame({
+                "doc_a": pd.Series([], dtype=np.int64),
+                "doc_b": pd.Series([], dtype=np.int64),
+                "hamming": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"doc_a": np.concatenate(das),
+                             "doc_b": np.concatenate(dbs),
+                             "hamming": np.concatenate(hams)})
 
-    pairs = banded.groupby(["band", "key"]).map_groups(
+    pairs = banded.groupby("grp").map_groups(
         emit_verified, batch_format="pandas")
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    from ray.data.aggregate import Min
+
+    dedup = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming_min"))
+    return dedup.map_batches(
+        lambda t: pa.table({
+            "doc_a": pc.cast(t["doc_a"], pa.int64()),
+            "doc_b": pc.cast(t["doc_b"], pa.int64()),
+            "hamming": pc.cast(t["hamming_min"], pa.int64()),
+        }),
+        batch_format="pyarrow")
