@@ -978,6 +978,23 @@ LEFT JOIN kth k ON qterms.term = k.term
 GROUP BY qids.qid"""
 
 
+def q_threshold_lookup(sf_dir: str) -> pd.DataFrame:
+    """Whole threshold-lookup pipeline: estimate → seeded serve → safety
+    and pruning accounting (rows-only; the pruning counters are not
+    SQL-expressible — the est_threshold column is oracle-checked through
+    the kth_threshold_pairs entry, and safety/rank-identity are asserted
+    in tests/test_tools.py)."""
+    from pisa_ray.tools import threshold_lookup_pipeline
+
+    eng = _engine(sf_dir)
+    df = threshold_lookup_pipeline(
+        eng, [(qid, " ".join(ts)) for qid, ts in QUERY_SET], k=TOPK,
+        use_pairs=True)
+    df["est_threshold"] = _round_match(df["est_threshold"].to_numpy(), 4)
+    df["true_threshold"] = _round_match(df["true_threshold"].to_numpy(), 4)
+    return df
+
+
 def q_kth_threshold_pairs(sf_dir: str) -> pd.DataFrame:
     """Single+pair substructure kth-threshold lower bounds (the fork's
     kth_threshold pair caches) over the fixed query set, k=10."""
@@ -1042,6 +1059,7 @@ QUERIES.update({
     "intersection_stats": q_intersection_stats,
     "kth_threshold_single": q_kth_threshold_single,
     "kth_threshold_pairs": q_kth_threshold_pairs,
+    "threshold_lookup": q_threshold_lookup,
 })
 ORACLE_SQL.update({
     "count_postings": SQL_COUNT_POSTINGS,

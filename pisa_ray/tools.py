@@ -264,6 +264,116 @@ def kth_threshold_estimate_multi(engine: QueryEngine, queries, *,
     return pd.DataFrame(rows)
 
 
+class _CountingCursor:
+    """Cursor wrapper counting scored postings — instrumentation for the
+    threshold-lookup pipeline's work accounting."""
+
+    __slots__ = ("c", "counter")
+
+    def __init__(self, c, counter):
+        self.c = c
+        self.counter = counter
+
+    @property
+    def pl(self):
+        return self.c.pl
+
+    @property
+    def max_score(self):
+        return self.c.max_score
+
+    @property
+    def end_sentinel(self):
+        return self.c.end_sentinel
+
+    @property
+    def q_weight(self):
+        return self.c.q_weight
+
+    @property
+    def scorer(self):
+        return self.c.scorer
+
+    def docid(self):
+        return self.c.docid()
+
+    def freq(self):
+        return self.c.freq()
+
+    def score(self, doc_lens):
+        self.counter[0] += 1
+        return self.c.score(doc_lens)
+
+    def next(self):
+        self.c.next()
+
+    def next_geq(self, target):
+        self.c.next_geq(target)
+
+    def block_max_docid(self):
+        return self.c.block_max_docid()
+
+    def block_max_score(self):
+        return self.c.block_max_score()
+
+    def block_max_next_geq(self, target):
+        self.c.block_max_next_geq(target)
+
+    def exhausted(self):
+        return self.c.exhausted()
+
+
+def threshold_lookup_pipeline(engine: QueryEngine, queries, *, k: int = 10,
+                              algorithm: str = "block_max_wand",
+                              use_pairs: bool = True,
+                              use_triples: bool = False) -> pd.DataFrame:
+    """The fork's ``threshold_lookup_whole_pipeline`` capability
+    (``/root/reference/threshold/threshold_lookup_whole_pipeline.cpp``):
+    estimate each query's top-k threshold from cached substructure top-k
+    lists, SERVE the query seeded with the estimate as the initial
+    threshold, and account the work saved.
+
+    Returns (qid, est_threshold, true_threshold, safe, rank_identical,
+    scored_cold, scored_seeded): ``safe`` = the seeded run returns the
+    same top-k as the cold run (guaranteed when est ≤ true threshold);
+    ``scored_*`` = postings scored with/without the seed (the pruning
+    benefit)."""
+    from pisa_ray.query.algorithms import ALGORITHMS
+    from pisa_ray.query.cursors import make_cursors
+
+    est_df = kth_threshold_estimate_multi(
+        engine, queries, k=k, use_pairs=use_pairs, use_triples=use_triples)
+    est_map = dict(zip(est_df["qid"], est_df["est_threshold"]))
+    true_map = dict(zip(est_df["qid"], est_df["true_threshold"]))
+    rows = []
+    for qid, text in queries:
+        term_ids, _ = engine.parse_query(text)
+
+        def run_with(threshold: float):
+            counter = [0]
+            cursors = [_CountingCursor(c, counter) for c in make_cursors(
+                engine.index, term_ids, engine.scorer)]
+            q = ALGORITHMS[algorithm](cursors, engine.index.doc_lens, k,
+                                      threshold)
+            return q.finalize(), counter[0]
+
+        cold, scored_cold = run_with(0.0)
+        est = float(est_map[qid])
+        seeded, scored_seeded = run_with(est)
+        ident = ([(round(s, 4), d) for s, d in cold]
+                 == [(round(s, 4), d) for s, d in seeded])
+        rows.append({
+            "qid": qid,
+            "est_threshold": est,
+            "true_threshold": float(true_map[qid]),
+            "safe": bool(est <= float(true_map[qid]) + 1e-9),
+            "rank_identical": bool(ident),
+            "scored_cold": int(scored_cold),
+            "scored_seeded": int(scored_seeded),
+        })
+    return pd.DataFrame(rows)
+
+
 _TOOL_CACHE: Dict = {}
 
 

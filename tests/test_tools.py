@@ -184,3 +184,20 @@ def test_reorder_random_and_mapping(ray_session, tmp_path):
     idx = InvertedIndex(out)
     docs, _ = idx.posting_list(idx.term_id("alpha")).decode()
     assert list(docs) == [0, 2]  # old docs 0,1 → new ids 2,0
+
+
+def test_threshold_lookup_pipeline(toolbox):
+    from pisa_ray.tools import threshold_lookup_pipeline
+
+    eng, oracle, out = toolbox
+    queries = [("q1", "thehot term001"), ("q2", "term001 term005 thehot"),
+               ("q3", "term000 term004"), ("q4", "zzz")]
+    df = threshold_lookup_pipeline(eng, queries, k=5, use_pairs=True)
+    assert df["safe"].all()
+    # a safe seed must never change the top-k
+    assert df["rank_identical"].all()
+    # seeding can only reduce (or equal) the scored-posting work
+    assert (df["scored_seeded"] <= df["scored_cold"]).all()
+    # on the multi-term queries the pair caches should actually prune
+    multi = df[df["qid"].isin(["q1", "q2"])]
+    assert (multi["scored_seeded"] < multi["scored_cold"]).any()
