@@ -79,47 +79,81 @@ def _exchange_map(files: List, terms_ref_box, doc_id_bits: int,
     _t0 = _t.time()
     _marks = {}
     if files and isinstance(files[0], str):
-        tbl = pa.concat_tables([pq.read_table(f) for f in files])
+        tables = [pq.read_table(f) for f in files]
     else:
-        tbl = pa.concat_tables(ray.get(list(files)))
+        tables = list(ray.get(list(files)))
     _marks["fetch"] = _t.time() - _t0
     # refs are boxed in a list so Ray doesn't auto-deref them per task;
     # fetched once per worker via the plasma cache
     from pisa_ray.index.build import term_ids_from_column
 
     terms = ray.get(terms_ref_box[0])
-    tid = term_ids_from_column(tbl["term"], terms)
-    did = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(
-        np.uint64, copy=False)
-    key = (tid << np.uint64(doc_id_bits)) | did
-    _marks["remap"] = _t.time() - _t0
-    parts = _partition_ids(tid, did, num_terms, num_docs,
-                           term_buckets, db_arr, db_off)
-    order = np.argsort(parts, kind="stable")
-    _marks["partsort"] = _t.time() - _t0
-    # Gather ONCE into numpy, then build each partition table from numpy
-    # views.  NEVER return pyarrow Table.slice() views here: pickling a
-    # sliced Table serializes the FULL parent buffers, turning the map
-    # output into P × table-size (measured: a 1k-row slice of a 1M-row
-    # table pickles to 12 MB).  A pa.array wrapping a numpy view
-    # serializes only the view's bytes.
-    key_s = key[order]
-    tf_s = tbl["tf"].to_numpy(zero_copy_only=False).astype(
-        np.uint32, copy=False)[order]
-    dl_s = tbl["doc_len"].to_numpy(zero_copy_only=False).astype(
-        np.uint32, copy=False)[order]
-    bounds = np.searchsorted(parts[order], np.arange(P + 1))
-    _marks["gather"] = _t.time() - _t0
+
+    # Two-pass per-block counting scatter.  Each input block (~75k rows)
+    # is processed in cache-resident pieces: pass 1 computes its partition
+    # ids and per-partition counts; pass 2 sorts WITHIN the block (tiny)
+    # and copies each partition run sequentially into the preallocated
+    # output arrays.  This replaces one task-wide argsort + three fancy
+    # gathers over ~110 MB arrays — random-access traffic that collapsed
+    # under full-node memory/page-fault contention — with small sequential
+    # copies.  NEVER return pyarrow Table.slice() views here: pickling a
+    # sliced Table serializes the FULL parent buffers (P × table size).
+    per_block = []
+    counts = np.zeros(P, dtype=np.int64)
+    n_total = 0
+    for t in tables:
+        for b in t.to_batches():
+            n = b.num_rows
+            if n == 0:
+                continue
+            tbl1 = pa.Table.from_batches([b])
+            tid = term_ids_from_column(tbl1["term"], terms)
+            did = tbl1["doc_id"].to_numpy(zero_copy_only=False).astype(
+                np.uint64, copy=False)
+            tid <<= np.uint64(doc_id_bits)
+            key = tid
+            key |= did
+            parts = _partition_ids(
+                (key >> np.uint64(doc_id_bits)), did, num_terms, num_docs,
+                term_buckets, db_arr, db_off)
+            counts += np.bincount(parts, minlength=P)
+            tf = tbl1["tf"].to_numpy(zero_copy_only=False)
+            dl = tbl1["doc_len"].to_numpy(zero_copy_only=False)
+            per_block.append((key, parts, tf, dl))
+            n_total += n
+    _marks["scan"] = _t.time() - _t0
+
+    offsets = np.zeros(P + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    key_out = np.empty(n_total, dtype=np.uint64)
+    tf_out = np.empty(n_total, dtype=np.uint32)
+    dl_out = np.empty(n_total, dtype=np.uint32)
+    cursor = offsets[:-1].copy()
+    for key, parts, tf, dl in per_block:
+        order = np.argsort(parts, kind="stable")
+        sp = parts[order]
+        run_starts = np.concatenate(
+            ([0], np.flatnonzero(np.diff(sp)) + 1, [len(sp)]))
+        kk, tt, dd = key[order], tf[order], dl[order]
+        for ri in range(len(run_starts) - 1):
+            lo, hi = int(run_starts[ri]), int(run_starts[ri + 1])
+            p = int(sp[lo])
+            c = cursor[p]
+            key_out[c:c + hi - lo] = kk[lo:hi]
+            tf_out[c:c + hi - lo] = tt[lo:hi]
+            dl_out[c:c + hi - lo] = dd[lo:hi]
+            cursor[p] = c + hi - lo
+    _marks["scatter"] = _t.time() - _t0
     if os.environ.get("PISA_RAY_TRACE"):
-        print(f"[maptask] rows={tbl.num_rows} "
+        print(f"[maptask] rows={n_total} "
               + " ".join(f"{k}={v:.2f}" for k, v in _marks.items()),
               flush=True)
     return [pa.table({
-        "sort_key": pa.array(key_s[int(bounds[p]):int(bounds[p + 1])],
+        "sort_key": pa.array(key_out[int(offsets[p]):int(offsets[p + 1])],
                              type=pa.uint64()),
-        "tf": pa.array(tf_s[int(bounds[p]):int(bounds[p + 1])],
+        "tf": pa.array(tf_out[int(offsets[p]):int(offsets[p + 1])],
                        type=pa.uint32()),
-        "doc_len": pa.array(dl_s[int(bounds[p]):int(bounds[p + 1])],
+        "doc_len": pa.array(dl_out[int(offsets[p]):int(offsets[p + 1])],
                             type=pa.uint32()),
     }) for p in range(P)]
 
