@@ -196,7 +196,7 @@ def run_scaling() -> dict:
     # slower on this virtualized box (cold page-cache/VM memory backing);
     # repeated identical runs also vary with external host load, hence
     # best-of-N.
-    repeats = int(os.environ.get("PISA_RAY_SCALING_REPEATS", "2"))
+    repeats = int(os.environ.get("PISA_RAY_SCALING_REPEATS", "3"))
     warmup = os.environ.get("PISA_RAY_SCALING_WARMUP", "1") != "0"
     lo, hi = 8, 32
     if warmup:

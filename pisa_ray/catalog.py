@@ -785,6 +785,7 @@ QUERIES: Dict[str, Callable] = {
     "postings_simple8b": make_q_postings_codec("simple8b"),
     "postings_optpfor": make_q_postings_codec("optpfor"),
     "postings_pef": make_q_postings_codec("pefuniform"),
+    "postings_pefopt": make_q_postings_codec("pefopt"),
     "postings_interpolative": make_q_postings_codec("interpolative"),
     "collection_stats": q_collection_stats,
     "bm25_topk": q_bm25_topk,
@@ -818,6 +819,7 @@ ORACLE_SQL: Dict[str, str] = {
     "postings_simple8b": SQL_POSTINGS,
     "postings_optpfor": SQL_POSTINGS,
     "postings_pef": SQL_POSTINGS,
+    "postings_pefopt": SQL_POSTINGS,
     "postings_interpolative": SQL_POSTINGS,
     "collection_stats": SQL_COLLECTION_STATS,
     "bm25_topk": SQL_BM25_TOPK,

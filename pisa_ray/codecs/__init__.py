@@ -26,7 +26,8 @@ from pisa_ray.codecs.ef import ef_encode, ef_decode
 from pisa_ray.codecs.svb import svb_encode, svb_decode
 from pisa_ray.codecs.s8b import s8b_encode, s8b_decode
 from pisa_ray.codecs.pfor import pfor_encode, pfor_decode
-from pisa_ray.codecs.pef import pef_encode, pef_decode
+from pisa_ray.codecs.pef import (pef_encode, pef_decode,
+                                 pefopt_encode, pefopt_decode)
 from pisa_ray.codecs.bic import bic_encode, bic_decode
 
 Encoder = Callable[[np.ndarray], bytes]
@@ -40,13 +41,15 @@ CODECS: Dict[str, Tuple[Encoder, Decoder]] = {
     "simple8b": (s8b_encode, s8b_decode),
     "optpfor": (pfor_encode, pfor_decode),
     "pefuniform": (pef_encode, pef_decode),
+    "pefopt": (pefopt_encode, pefopt_decode),
     "interpolative": (bic_encode, bic_decode),
 }
 
 # Monotone codecs encode the ascending values directly (docids; prefix-sum
 # freqs) instead of gap-1 deltas — the reference's bitvector index family
 # (include/pisa/freq_index.hpp:29-121) vs its block family.
-MONOTONE_CODECS = frozenset({"ef", "pefuniform", "interpolative"})
+MONOTONE_CODECS = frozenset({"ef", "pefuniform", "pefopt",
+                             "interpolative"})
 
 BLOCK_SIZE = 128  # ints per block, reference default (codec/simdbp.hpp:13)
 

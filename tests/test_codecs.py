@@ -8,7 +8,7 @@ from pisa_ray.index.postings import encode_segment, SegmentView
 
 
 BLOCK_CODECS = ["bitpack", "varbyte", "streamvbyte", "simple8b", "optpfor"]
-MONO_CODECS = ["ef", "pefuniform", "interpolative"]
+MONO_CODECS = ["ef", "pefuniform", "pefopt", "interpolative"]
 
 
 @pytest.mark.parametrize("codec", BLOCK_CODECS)
@@ -51,7 +51,8 @@ def test_empty():
 
 
 @pytest.mark.parametrize("codec", ["streamvbyte", "simple8b", "optpfor",
-                                   "pefuniform", "interpolative"])
+                                   "pefuniform", "pefopt",
+                                   "interpolative"])
 @settings(max_examples=20, deadline=None)
 @given(docset=st.sets(st.integers(min_value=0, max_value=10**6), min_size=1,
                       max_size=500),
