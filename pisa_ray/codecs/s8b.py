@@ -26,8 +26,10 @@ def s8b_encode(values: np.ndarray) -> bytes:
     values = np.ascontiguousarray(values, dtype=np.uint64)
     if len(values) == 0:
         return b""
-    if values.max() >= (1 << 60):
-        raise ValueError("simple8b: value exceeds 60 bits")
+    if values.max() >= (1 << 32):
+        # decode returns uint32 (the block-codec contract); larger values
+        # would silently truncate on round-trip
+        raise ValueError("simple8b: value exceeds 32 bits")
     bitlen = np.zeros(len(values), dtype=np.int64)
     nz = values > 0
     if nz.any():

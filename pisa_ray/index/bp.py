@@ -154,12 +154,20 @@ def _bp_order(indptr: np.ndarray, indices: np.ndarray, order: np.ndarray,
 
 def bp_mapping_from_fwd(fwd_dir: str, *, iterations: int = 20,
                         min_partition: int = 32, seed: int = 1,
-                        ray_depth: int = 2) -> np.ndarray:
+                        ray_depth: int = 2,
+                        num_docs: int | None = None) -> np.ndarray:
     """old→new docid permutation from a build's fwd/ checkpoint.
 
     Reads (doc_id, term) rows, builds the doc→term-id CSR, runs BP.  The
     top ``ray_depth`` recursion levels fan out as Ray tasks (independent
-    branches); deeper levels run in-task with numpy."""
+    branches); deeper levels run in-task with numpy.
+
+    ``num_docs``: total collection size.  Docids absent from the fwd
+    checkpoint (documents whose tokens were all filtered out) get empty
+    CSR rows and participate in the permutation, so the mapping is total
+    — without it a trailing all-filtered doc would be missing and the
+    reorder rebuild would KeyError.  Defaults to ``fwd``'s max docid + 1
+    (read stats.json and pass num_docs when trailing docs may be empty)."""
     import glob
     import os
 
@@ -179,6 +187,8 @@ def bp_mapping_from_fwd(fwd_dir: str, *, iterations: int = 20,
     docs = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     num_terms = len(uniq)
     n = int(docs.max()) + 1 if len(docs) else 0
+    if num_docs is not None:
+        n = max(n, int(num_docs))
     order_by_doc = np.argsort(docs, kind="stable")
     docs_s, tids_s = docs[order_by_doc], tids[order_by_doc]
     counts = np.bincount(docs_s, minlength=n)

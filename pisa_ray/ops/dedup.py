@@ -38,19 +38,66 @@ JOIN_PARTITIONS = 8
 # ---------------------------------------------------------------------------
 # stable vectorized hashing
 
-def _stable_u64_column(values, seed: int = 11) -> np.ndarray:
-    """Vectorized stable 64-bit hashes of a string column (polars xxhash64).
+_HASH_CANARY_DONE = False
 
-    ``values`` may be a list, numpy array, or pyarrow array.  One Rust call
-    per column — replaces the per-string hashlib loop that dominated the
-    round-1 minhash bench."""
+
+def _check_hash_canary() -> None:
+    """polars does NOT guarantee Series.hash stability across versions; the
+    golden fixtures and cross-run determinism depend on the current
+    xxhash64 behavior.  This canary turns a silent semantic change (an
+    upgraded/mixed-version cluster producing different group keys and
+    MinHash/SimHash signatures) into a loud error at first use.  Pin the
+    polars version cluster-wide, or re-generate goldens after an upgrade."""
+    global _HASH_CANARY_DONE
+    if _HASH_CANARY_DONE:
+        return
     import polars as pl
 
+    got = pl.Series(["pisa-ray-canary"]).hash(seed=11).to_numpy()
+    if int(got[0]) != 11237523598774343049:
+        raise RuntimeError(
+            "polars Series.hash changed behavior (got %d); dedup hashes are "
+            "version-dependent — pin polars cluster-wide and regenerate "
+            "tests/golden/*.parquet" % int(got[0]))
+    _HASH_CANARY_DONE = True
+
+
+def _stable_u64_column(values, seed: int = 11) -> np.ndarray:
+    """Vectorized 64-bit hashes of a string column (polars xxhash64).
+
+    Deterministic for a FIXED polars version (guarded by
+    ``_check_hash_canary``); polars does not guarantee cross-version
+    stability.  ``values`` may be a list, numpy array, or pyarrow array.
+    One Rust call per column — replaces the per-string hashlib loop that
+    dominated the round-1 minhash bench."""
+    import polars as pl
+
+    _check_hash_canary()
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
         s = pl.from_arrow(values)
     else:
         s = pl.Series(values)
     return s.hash(seed=seed).to_numpy().astype(np.uint64)
+
+
+def _md5_u64_column(values) -> np.ndarray:
+    """64-bit hashes via md5 (bytes 8..16 of the digest, little-endian) —
+    exactly DuckDB's ``md5_number_lower``, so ops running in this mode are
+    replicable by a pure-SQL oracle.  Slower than the xxhash column call;
+    used by the oracle-compat catalog entries, not the default hot path."""
+    import hashlib
+
+    out = np.empty(len(values), dtype=np.uint64)
+    md5 = hashlib.md5
+    for i, s in enumerate(values):
+        out[i] = int.from_bytes(md5(s.encode()).digest()[8:], "little")
+    return out
+
+
+def _hash_u64_column(values, hash_fn: str) -> np.ndarray:
+    if hash_fn == "md5":
+        return _md5_u64_column(values)
+    return _stable_u64_column(values)
 
 
 _MERSENNE = (1 << 61) - 1
@@ -224,13 +271,20 @@ def ngram_jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.1,
 
 def minhash_signatures(ds, *, num_perm: int = 64, n: int = 3, seed: int = 7,
                        text_col: str = "text", id_col: str = "doc_id",
-                       lowercase: bool = True):
+                       lowercase: bool = True, hash_fn: str = "xx"):
     """→ Dataset(doc_id, sig: list<uint64>[num_perm]).
 
     Vectorized per batch: all docs' unique shingles are hashed in ONE
     xxhash64 column call, permutation values are computed as (P, S) blocks,
     and per-doc minima come from ``np.minimum.reduceat`` over doc
-    boundaries — no per-doc Python hashing."""
+    boundaries — no per-doc Python hashing.
+
+    ``hash_fn="md5"``: component i = min over shingles of
+    ``md5_number_lower(f"{i}:{shingle}")`` — no modular permutation
+    arithmetic, so a DuckDB oracle can recompute the signatures exactly
+    (uint64 (a·h+b) mod M wraps mod 2^64 in numpy, which SQL integer
+    types can't replicate without overflow).  Oracle-compat mode; the
+    default xxhash mode is the hot path."""
     a, b = _minhash_params(num_perm, seed)
     MAXU = np.iinfo(np.uint64).max
 
@@ -248,18 +302,23 @@ def minhash_signatures(ds, *, num_perm: int = 64, n: int = 3, seed: int = 7,
             all_sh.extend(sh)
         sig_mat = np.full((len(ids), num_perm), MAXU, dtype=np.uint64)
         if all_sh:
-            hv = _stable_u64_column(all_sh) % _MERSENNE       # (S,)
             starts_all = np.concatenate(([0], np.cumsum(counts)[:-1]))
             nonempty = counts > 0
             starts = starts_all[nonempty]
-            # chunk the permutations so the (chunk, S) intermediate stays
-            # small; reduceat folds each doc's shingle range to its min
-            for lo in range(0, num_perm, 16):
-                hi = min(lo + 16, num_perm)
-                perm = (a[lo:hi, None] * hv[None, :] + b[lo:hi, None]) \
-                    % _MERSENNE                               # (c, S)
-                mins = np.minimum.reduceat(perm, starts, axis=1)  # (c, D')
-                sig_mat[nonempty, lo:hi] = mins.T
+            if hash_fn == "md5":
+                for i in range(num_perm):
+                    hv_i = _md5_u64_column([f"{i}:{s}" for s in all_sh])
+                    sig_mat[nonempty, i] = np.minimum.reduceat(hv_i, starts)
+            else:
+                hv = _stable_u64_column(all_sh) % _MERSENNE       # (S,)
+                # chunk the permutations so the (chunk, S) intermediate
+                # stays small; reduceat folds each doc's range to its min
+                for lo in range(0, num_perm, 16):
+                    hi = min(lo + 16, num_perm)
+                    perm = (a[lo:hi, None] * hv[None, :] + b[lo:hi, None]) \
+                        % _MERSENNE                               # (c, S)
+                    mins = np.minimum.reduceat(perm, starts, axis=1)
+                    sig_mat[nonempty, lo:hi] = mins.T
         return pa.table({
             "doc_id": pa.array(ids, type=pa.int64()),
             "sig": pa.array(list(sig_mat), type=pa.list_(pa.uint64())),
@@ -335,7 +394,7 @@ def _emit_bucket_pairs(group) -> "pa.Table":
 def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16, n: int = 3,
                       seed: int = 7, text_col: str = "text",
                       id_col: str = "doc_id", verify_threshold: float = 0.5,
-                      verify_mode: str = "carry"):
+                      verify_mode: str = "carry", hash_fn: str = "xx"):
     """MinHash-LSH near-dup pairs, verified by signature similarity
     (fraction of equal components ≥ τ).
 
@@ -356,7 +415,8 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16, n: int = 3,
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(ds, num_perm=num_perm, n=n, seed=seed,
-                              text_col=text_col, id_col=id_col)
+                              text_col=text_col, id_col=id_col,
+                              hash_fn=hash_fn)
 
     if verify_mode == "carry":
         def band_sig_rows(batch: pa.Table) -> pa.Table:
@@ -549,7 +609,7 @@ def minhash_jaccard_dups(ds, *, num_perm: int = 64, bands: int = 16,
 # SimHash
 
 def simhash_fingerprints(ds, *, text_col: str = "text", id_col: str = "doc_id",
-                         lowercase: bool = True):
+                         lowercase: bool = True, hash_fn: str = "xx"):
     """→ Dataset(doc_id, simhash:uint64) — 64-bit token-weighted simhash.
 
     Vectorized per batch: one xxhash64 call over every doc's unique tokens,
@@ -573,7 +633,7 @@ def simhash_fingerprints(ds, *, text_col: str = "text", id_col: str = "doc_id",
                 all_counts.append(cnt)
         fps = np.zeros(len(ids), dtype=np.uint64)
         if all_toks:
-            hv = _stable_u64_column(all_toks)                  # (N,)
+            hv = _hash_u64_column(all_toks, hash_fn)           # (N,)
             cnts = np.concatenate(all_counts)                  # (N,)
             bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                     & np.uint64(1)).astype(np.int64)           # (N, 64)
@@ -594,12 +654,17 @@ def simhash_fingerprints(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
 
 def simhash_pairs(ds, *, max_hamming: int = 3, text_col: str = "text",
-                  id_col: str = "doc_id"):
-    """Near-dup pairs with Hamming(simhash) ≤ k via 4×16-bit banded buckets
-    (any pair within Hamming ≤ 3 shares at least one of 4 bands)."""
+                  id_col: str = "doc_id", hash_fn: str = "xx"):
+    """Near-dup pairs with Hamming(simhash) ≤ k via 4×16-bit banded buckets.
+
+    Recall is EXACT for ``max_hamming ≤ 3`` (pigeonhole: ≤3 differing bits
+    over 4 bands leave one band intact); beyond 3 the banding is a recall
+    heuristic — use more/narrower bands if exactness at higher radii is
+    required."""
     import pandas as pd
 
-    fps = simhash_fingerprints(ds, text_col=text_col, id_col=id_col)
+    fps = simhash_fingerprints(ds, text_col=text_col, id_col=id_col,
+                               hash_fn=hash_fn)
 
     def band_rows(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)

@@ -53,19 +53,44 @@ def tumbling_window(ds, *, ts_col: str = "ts", key_col: str = "event_type",
 
 
 def session_windows(ds, *, ts_col: str = "ts", key_col: str = "user_id",
-                    gap_seconds: int = 1800):
+                    gap_seconds: int = 1800, num_groups: int = 64):
     """→ per-key session windows (session = events separated by < gap).
-    groupby(key).map_groups over ts-sorted groups."""
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col)
-        ts = g[ts_col].astype("datetime64[us]")
-        gaps = ts.diff().dt.total_seconds().fillna(np.inf)
-        sess = (gaps >= gap_seconds).cumsum()
-        out = g.groupby(sess).agg(
-            session_start=(ts_col, "min"), session_end=(ts_col, "max"),
-            n_events=(ts_col, "count"))
-        out[key_col] = g[key_col].iloc[0]
-        return out.reset_index(drop=True)[
-            [key_col, "session_start", "session_end", "n_events"]]
 
-    return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
+    Scale shape: group by ``hash(key) % num_groups`` (COARSE groups — one
+    Python call per group, not per user; ``map_groups`` per key would be a
+    call-per-user storm at 10⁹ users), then vectorize inside the group:
+    lexsort by (key, ts), session breaks where the key changes or the gap
+    ≥ threshold, run-length aggregates from the break positions.  Size
+    ``num_groups`` ∝ data so a group fits a worker's heap."""
+    def add_group(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        if keys.dtype.kind in "iu":
+            g = (keys.astype(np.uint64) * np.uint64(2654435761)) \
+                % np.uint64(num_groups)
+        else:  # string keys: stable vectorized hash
+            from pisa_ray.ops.dedup import _stable_u64_column
+
+            g = _stable_u64_column(batch[key_col]) % np.uint64(num_groups)
+        return batch.append_column("_g", pa.array(g.astype(np.int64)))
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        keys = g[key_col].to_numpy()
+        order = np.lexsort((ts, keys))
+        ts, keys = ts[order], keys[order]
+        n = len(ts)
+        brk = np.empty(n, dtype=bool)
+        brk[0] = True
+        brk[1:] = (keys[1:] != keys[:-1]) | \
+            ((ts[1:] - ts[:-1]) >= gap_seconds * 1_000_000)
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], n] - 1
+        return pd.DataFrame({
+            key_col: keys[starts],
+            "session_start": ts[starts].astype("datetime64[us]"),
+            "session_end": ts[ends].astype("datetime64[us]"),
+            "n_events": np.diff(np.r_[starts, n]).astype(np.int64),
+        })
+
+    return (ds.map_batches(add_group, batch_format="pyarrow")
+            .groupby("_g").map_groups(sessions, batch_format="pandas"))

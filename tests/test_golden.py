@@ -18,6 +18,32 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 SF_DIR = "/root/testdata/sf0.01"
 
 
+def _docs():
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                                 columns=["doc_id", "text"])
+
+
+def _minhash_xx(_sf):
+    # the DEFAULT xxhash mode with the pinned round-2 parameters (the
+    # catalog entry moved to the md5 oracle-compat mode, which the driver
+    # now SQL-checks; the hot-path mode stays golden-pinned here)
+    from pisa_ray.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(), num_perm=64, bands=16,
+                             verify_threshold=0.2)
+
+
+def _simhash_xx(_sf):
+    from pisa_ray.ops.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(), max_hamming=6)
+
+
+_GOLDEN_FNS = {"minhash_lsh_pairs": _minhash_xx, "simhash_pairs": _simhash_xx}
+
+
 @pytest.mark.parametrize("name", [
     "minhash_lsh_pairs", "simhash_pairs", "lsh_ann_topk"])
 def test_golden(name, ray_session):
@@ -25,7 +51,8 @@ def test_golden(name, ray_session):
 
     golden = pd.read_parquet(
         os.path.join(GOLDEN_DIR, f"{name}_sf001.parquet"))
-    res = QUERIES[name](SF_DIR)
+    fn = _GOLDEN_FNS.get(name, QUERIES.get(name))
+    res = fn(SF_DIR)
     df = res.to_pandas() if hasattr(res, "to_pandas") else res
     df = df.sort_values(list(golden.columns)).reset_index(drop=True)
     assert list(df.columns) == list(golden.columns)
