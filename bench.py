@@ -179,8 +179,40 @@ def run_bench() -> dict:
     }
 
 
+def _wait_quiet(budget: list) -> None:
+    """Block until the box is idle (1-min loadavg < PISA_RAY_QUIET_LOAD,
+    default 2.0) or the shared wait budget (PISA_RAY_QUIET_BUDGET sec,
+    default 1800 across the whole --scaling run) is exhausted.
+
+    This sandbox shares its host: bursts of external load 7-27 arrive
+    for tens of minutes at a time and inflate any rep they overlap by
+    2-4x, turning a scaling measurement into a measurement of someone
+    else's job.  A multi-node cluster run (`ray job submit`, the north
+    rule's real protocol) owns its nodes; gating reps on machine
+    idleness is the single-box stand-in for that, and is reported
+    honestly in the artifact (waited_sec)."""
+    thresh = float(os.environ.get("PISA_RAY_QUIET_LOAD", "2.0"))
+    while budget[0] > 0:
+        try:
+            with open("/proc/loadavg") as f:
+                load1 = float(f.read().split()[0])
+        except OSError:
+            return
+        if load1 < thresh:
+            return
+        step = min(15.0, budget[0])
+        print(f"[scaling] load {load1:.1f} >= {thresh}; waiting "
+              f"({int(budget[0])}s budget left)", file=sys.stderr, flush=True)
+        time.sleep(step)
+        budget[0] -= step
+
+
 def run_scaling() -> dict:
+    quiet_budget = [float(os.environ.get("PISA_RAY_QUIET_BUDGET", "1800"))]
+    waited_total = quiet_budget[0]
+
     def run(ncpu: int) -> dict:
+        _wait_quiet(quiet_budget)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    PISA_RAY_BENCH_PAGES=str(SCALING_PAGES),
                    PISA_RAY_BENCH_STAGES="index")
@@ -207,10 +239,14 @@ def run_scaling() -> dict:
     hi = int(os.environ.get("PISA_RAY_SCALING_HI", "32"))
     if warmup:
         run(lo)
-    runs_lo = [run(lo) for _ in range(repeats)]
-    if warmup:
         run(hi)
-    runs_hi = [run(hi) for _ in range(repeats)]
+    # interleaved lo/hi reps: an external-load burst then degrades SOME
+    # reps of BOTH legs instead of every rep of one leg, and best-of-N
+    # recovers a clean pair
+    runs_lo, runs_hi = [], []
+    for _ in range(repeats):
+        runs_lo.append(run(lo))
+        runs_hi.append(run(hi))
     r_lo = min(runs_lo, key=lambda r: r["queries"]["index_build"])
     r_hi = min(runs_hi, key=lambda r: r["queries"]["index_build"])
     t_lo = r_lo["queries"]["index_build"]
@@ -227,6 +263,7 @@ def run_scaling() -> dict:
         "docs_per_sec_lo": r_lo["index_docs_per_sec"],
         "docs_per_sec_hi": r_hi["index_docs_per_sec"],
         "total_sec_lo": r_lo["value"], "total_sec_hi": r_hi["value"],
+        "quiet_waited_sec": round(waited_total - quiet_budget[0], 1),
         "scaling_efficiency": round(eff, 3),
     }
 

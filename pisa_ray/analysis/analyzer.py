@@ -36,6 +36,10 @@ class AnalyzerConfig:
     token_filters: Tuple[str, ...] = ("lowercase",)
     stopwords: FrozenSet[str] = field(default_factory=frozenset)
     strip_html: bool = False  # apply html_to_text as a text filter first
+    # headword / direct-conflation files for the krovetz filter (loaded
+    # once per actor; None -> dictionary-free rule subset)
+    kstem_lexicon: Optional[str] = None
+    kstem_exceptions: Optional[str] = None
 
     def __post_init__(self):
         if self.tokenizer not in TOKENIZERS:
@@ -62,8 +66,14 @@ class TextAnalyzer:
         self._tokenize = TOKENIZERS[self.config.tokenizer]
         self._lower = "lowercase" in self.config.token_filters
         if "krovetz" in self.config.token_filters:
-            from pisa_ray.analysis.kstem import krovetz_stem
-            self._stem_fn = krovetz_stem
+            if self.config.kstem_lexicon or self.config.kstem_exceptions:
+                from pisa_ray.analysis.kstem import KrovetzStemmer
+                self._stem_fn = KrovetzStemmer.from_files(
+                    self.config.kstem_lexicon,
+                    self.config.kstem_exceptions).stem
+            else:
+                from pisa_ray.analysis.kstem import krovetz_stem
+                self._stem_fn = krovetz_stem
         elif "porter2" in self.config.token_filters:
             self._stem_fn = porter2_stem
         else:

@@ -86,10 +86,144 @@ def _aspect(word: str) -> str:
 
 
 def krovetz_stem(word: str) -> str:
-    """Stem one lowercase token."""
+    """Stem one lowercase token (dictionary-free rule subset)."""
     if len(word) < 3 or not word.isalpha():
         return word
     w = _plural(word)
     w = _past(w)
     w = _aspect(w)
     return w
+
+
+# ---------------------------------------------------------------------------
+# full control flow (lexicon-gated derivational steps)
+#
+# KStem proper runs, after the three inflectional steps, a fixed sequence
+# of derivational-suffix steps (-ity, -ness, -ion, -er/-or, -ly, -al,
+# -ive, -ize, -ment, -ble, -ism, -ic, -ncy, -nce — Krovetz SIGIR'93 §4),
+# each of which COMMITS a rewrite only if the candidate stem is a
+# dictionary headword; otherwise the word passes through unchanged.  The
+# reference vendors the Lemur KrovetzStemmer with its ~30k-entry headword
+# table (`/root/reference/src/token_filter.cpp:31-44`); that data file is
+# not vendored in this sandbox (the external/ submodule is empty), so the
+# engine below implements the STEP STRUCTURE and takes the lexicon as
+# input — pass your headword list (one word per line) and you get the
+# dictionary-gated behavior; pass none and only the inflectional rules
+# (which KStem applies dictionary-free spelling restoration to) run,
+# i.e. exactly ``krovetz_stem``.
+
+# suffix → ordered candidate rewrites, as (strip, append) pairs; the
+# first candidate found in the lexicon wins.
+_DERIVATIONAL = (
+    # (strip, append): candidate = w[:-strip] + append, first lexicon hit
+    # wins; families ordered longest-suffix-first so e.g. "-ization"
+    # shadows "-ation" shadows "-ion".
+    ("ability", ((5, "le"), (7, ""))),     # readability->readable,
+                                           # accountability->account
+    ("ibility", ((5, "le"),)),             # possibility->possible
+    ("ality", ((3, ""), (5, ""), (3, "e"))),  # formality->formal
+    ("ivity", ((3, "e"), (5, ""))),        # activity->active
+    ("ization", ((5, "e"), (7, ""))),      # organization->organize
+    ("ation", ((3, "e"), (5, ""), (5, "e"), (3, ""))),  # creation->create,
+                                           # information->inform
+    ("ility", ((3, "e"), (5, "le"), (3, ""))),  # mobility->mobile
+    ("ity", ((3, ""), (3, "e"), (3, "y"))),  # sanity->sane
+    ("ness", ((4, ""), (4, "e"))),         # kindness->kind
+    ("ions", ((4, ""), (4, "e"))),
+    ("ion", ((3, ""), (3, "e"))),          # action->act
+    ("iers", ((4, "y"),)),
+    ("ier", ((3, "y"),)),                  # easier->easy
+    ("ers", ((3, ""), (3, "e"))),
+    ("ors", ((3, ""), (3, "e"))),
+    ("er", ((2, ""), (2, "e"), (1, ""))),  # writer->write
+    ("or", ((2, ""), (2, "e"))),           # creator->create
+    ("ically", ((2, ""), (4, ""))),        # radically->radical,
+                                           # automatically->automatic
+    ("ally", ((2, ""), (4, ""))),
+    ("ly", ((2, ""),)),                    # quickly->quick
+    ("ical", ((2, ""), (4, ""), (4, "y"))),  # musical->music
+    ("ial", ((3, ""), (3, "e"), (3, "y"))),  # facial->face
+    ("ual", ((3, ""), (3, "e"))),          # factual->fact
+    ("al", ((2, ""), (2, "e"))),           # refusal->refuse
+    ("ative", ((5, ""), (3, ""), (5, "e"))),  # informative->inform
+    ("ive", ((3, ""), (3, "e"))),          # creative->create
+    ("ize", ((3, ""), (3, "e"), (3, "y"))),  # summarize->summary
+    ("ment", ((4, ""), (4, "e"))),         # placement->place
+    ("able", ((4, ""), (4, "e"))),         # readable->read
+    ("ible", ((4, ""), (4, "e"))),
+    ("ble", ((3, ""), (3, "e"))),
+    ("ism", ((3, ""), (3, "e"))),
+    ("ic", ((2, ""), (2, "e"), (2, "y"))),
+    ("ncy", ((2, "t"), (1, "e"))),         # consistency->consistent
+    ("nce", ((2, "t"), (1, ""))),          # compliance->compliant
+)
+
+
+class KrovetzStemmer:
+    """Lexicon-gated KStem: inflectional rules + derivational steps that
+    commit only on a headword hit.  Memoizes per instance (one instance
+    per analyzer actor)."""
+
+    def __init__(self, lexicon=None, exceptions=None):
+        self.lexicon = frozenset(lexicon) if lexicon else frozenset()
+        # direct-conflation table: word -> stem, checked first (the
+        # KStem exception/headword tables' role)
+        self.exceptions = dict(exceptions) if exceptions else {}
+        self._cache: dict = {}
+
+    @classmethod
+    def from_files(cls, lexicon_path=None, exceptions_path=None):
+        """Load ``word`` per line / ``word<TAB>stem`` per line files."""
+        lex = None
+        if lexicon_path:
+            with open(lexicon_path, encoding="utf-8") as f:
+                lex = {w.strip() for w in f if w.strip()}
+        exc = None
+        if exceptions_path:
+            exc = {}
+            with open(exceptions_path, encoding="utf-8") as f:
+                for line in f:
+                    parts = line.split()
+                    if len(parts) == 2:
+                        exc[parts[0]] = parts[1]
+        return cls(lex, exc)
+
+    def _in_lex(self, w: str) -> bool:
+        return w in self.lexicon
+
+    def stem(self, word: str) -> str:
+        hit = self._cache.get(word)
+        if hit is not None:
+            return hit
+        out = self._stem_uncached(word)
+        if len(self._cache) < 200_000:
+            self._cache[word] = out
+        return out
+
+    def _stem_uncached(self, word: str) -> str:
+        if len(word) < 3 or not word.isalpha():
+            return word
+        exc = self.exceptions.get(word)
+        if exc is not None:
+            return exc
+        # a word that is itself a headword is never rewritten (KStem's
+        # first lookup)
+        if self._in_lex(word):
+            return word
+        w = _plural(word)
+        w = _past(w)
+        w = _aspect(w)
+        if not self.lexicon:
+            return w
+        if self._in_lex(w):
+            return w
+        for suffix, candidates in _DERIVATIONAL:
+            if w.endswith(suffix) and len(w) - len(suffix) >= 3:
+                for strip, append in candidates:
+                    cand = w[:-strip] + append if strip else w + append
+                    if self._in_lex(cand):
+                        return cand
+                break  # longest matching family only, like the step chain
+        return w
+
+    __call__ = stem

@@ -963,6 +963,9 @@ QUERIES: Dict[str, Callable] = {
     "postings_pef": make_q_postings_codec("pefuniform"),
     "postings_pefopt": make_q_postings_codec("pefopt"),
     "postings_interpolative": make_q_postings_codec("interpolative"),
+    "postings_maskedvbyte": make_q_postings_codec("maskedvbyte"),
+    "postings_varintgb": make_q_postings_codec("varintgb"),
+    "postings_simple16": make_q_postings_codec("simple16"),
     "collection_stats": q_collection_stats,
     "bm25_topk": q_bm25_topk,
     "thresholds": q_thresholds,
@@ -998,6 +1001,9 @@ ORACLE_SQL: Dict[str, str] = {
     "postings_pef": SQL_POSTINGS,
     "postings_pefopt": SQL_POSTINGS,
     "postings_interpolative": SQL_POSTINGS,
+    "postings_maskedvbyte": SQL_POSTINGS,
+    "postings_varintgb": SQL_POSTINGS,
+    "postings_simple16": SQL_POSTINGS,
     "collection_stats": SQL_COLLECTION_STATS,
     "bm25_topk": SQL_BM25_TOPK,
     "thresholds": SQL_THRESHOLDS,

@@ -162,6 +162,16 @@ def cmd_thresholds(args) -> int:
     return 0
 
 
+def cmd_extract_topics(args) -> int:
+    """No Ray involved — a topics file is a driver-sized artifact."""
+    from pisa_ray.io.parsers import extract_topics
+
+    n = extract_topics(args.input, args.output, fmt=args.format,
+                       unique=args.unique)
+    print(f"extracted {n} records")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="pisa_ray")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -181,8 +191,8 @@ def main(argv=None) -> int:
     b.add_argument("--stopwords", default=None, help="stopword file")
     b.add_argument("--scorer", default="bm25",
                    choices=["bm25", "qld", "pl2", "dph"])
-    b.add_argument("--codec", default="bitpack",
-                   choices=["bitpack", "varbyte", "ef"])
+    from pisa_ray.codecs import CODECS
+    b.add_argument("--codec", default="bitpack", choices=sorted(CODECS))
     b.add_argument("--block-size", type=int, default=128)
     b.add_argument("--num-shards", type=int, default=8)
     b.add_argument("--exchange", default="sort",
@@ -195,6 +205,14 @@ def main(argv=None) -> int:
     b.add_argument("--no-resume", action="store_true")
     b.set_defaults(fn=cmd_build)
 
+    et = sub.add_parser("extract-topics",
+                        help="convert TREC topics / AOL logs to query files")
+    et.add_argument("-i", "--input", required=True)
+    et.add_argument("-o", "--output", required=True, help="output basename")
+    et.add_argument("-f", "--format", default="trec", choices=["trec", "aol"])
+    et.add_argument("-u", "--unique", action="store_true")
+    et.set_defaults(fn=cmd_extract_topics)
+
     for name, fn in (("query", cmd_query), ("evaluate", cmd_evaluate),
                      ("bench-queries", cmd_bench_queries),
                      ("thresholds", cmd_thresholds)):
@@ -206,7 +224,7 @@ def main(argv=None) -> int:
                        choices=["ranked_or", "ranked_or_taat", "ranked_and",
                                 "wand", "block_max_wand", "maxscore",
                                 "block_max_maxscore", "block_max_ranked_and",
-                                "taat_maxscore"])
+                                "taat_maxscore", "block_max_taat"])
         # override the index-config scorer (a quantized index defaults to
         # the quantized scorer; this flag serves e.g. research reruns)
         q.add_argument("--scorer", default=None,

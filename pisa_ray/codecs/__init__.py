@@ -29,6 +29,9 @@ from pisa_ray.codecs.pfor import pfor_encode, pfor_decode
 from pisa_ray.codecs.pef import (pef_encode, pef_decode,
                                  pefopt_encode, pefopt_decode)
 from pisa_ray.codecs.bic import bic_encode, bic_decode
+from pisa_ray.codecs.mvb import mvb_encode, mvb_decode
+from pisa_ray.codecs.vgb import vgb_encode, vgb_decode
+from pisa_ray.codecs.s16 import s16_encode, s16_decode
 
 Encoder = Callable[[np.ndarray], bytes]
 Decoder = Callable[[bytes, int], np.ndarray]
@@ -43,7 +46,16 @@ CODECS: Dict[str, Tuple[Encoder, Decoder]] = {
     "pefuniform": (pef_encode, pef_decode),
     "pefopt": (pefopt_encode, pefopt_decode),
     "interpolative": (bic_encode, bic_decode),
+    "maskedvbyte": (mvb_encode, mvb_decode),
+    "varintgb": (vgb_encode, vgb_decode),
+    "simple16": (s16_encode, s16_decode),
 }
+
+# VarintG8IU (reference codec/VarIntG8IU.h) is deliberately absent: the
+# format is patent-encumbered (US 2012/0221539, noted in the reference
+# header itself) and is a byte-group layout variant of varintgb.  QMX is
+# wrapped by the reference (codec/qmx.hpp) from an external lib not
+# vendored here; see COVERAGE.md §2.11.
 
 # Monotone codecs encode the ascending values directly (docids; prefix-sum
 # freqs) instead of gap-1 deltas — the reference's bitvector index family

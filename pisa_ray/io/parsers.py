@@ -108,6 +108,87 @@ def parse_wapo(blob: bytes) -> Iterator[Record]:
                rec.get("article_url"))
 
 
+_TOP_RE = re.compile(r"<top>(.*?)</top>", re.S | re.I)
+
+
+def _topic_field(body: str, tag: str, att: Optional[str]) -> str:
+    """Text after ``<tag>`` (and an optional ``Att:`` label) up to the next
+    ``<`` — the reference's read-until-'<' scan
+    (``include/pisa/query/trec_topic_reader.hpp:60-117``), with newlines
+    collapsed to spaces and ends trimmed."""
+    m = re.search(rf"<{tag}>", body, re.I)
+    if m is None:
+        return ""
+    rest = body[m.end():]
+    if att:
+        rest = re.sub(rf"^\s*{att}", "", rest, count=1, flags=re.I)
+    cut = rest.find("<")
+    if cut >= 0:
+        rest = rest[:cut]
+    return " ".join(rest.split())
+
+
+def parse_trec_topics(text: str) -> List[dict]:
+    """TREC topics SGML → [{num, title, desc, narr}] (the
+    ``trec_topic_reader`` semantics: ``<num> Number:`` label stripped,
+    fields end at the next tag, whitespace normalized)."""
+    out = []
+    for m in _TOP_RE.finditer(text):
+        body = m.group(1)
+        out.append({
+            "num": _topic_field(body, "num", "Number:"),
+            "title": _topic_field(body, "title", None),
+            "desc": _topic_field(body, "desc", "Description:"),
+            "narr": _topic_field(body, "narr", "Narrative:"),
+        })
+    return out
+
+
+def parse_aol_queries(text: str) -> List[str]:
+    """AOL query-log TSV → query strings (field 2 of >3-field lines,
+    skipping empties and ``-`` placeholders).  The reference's
+    ``aol_reader.hpp:29`` tests ``fields[1].empty() and fields[1] != "-"``
+    — literally satisfiable only by the empty string it then emits, an
+    evident upstream inversion; this implements the intended filter."""
+    out = []
+    for line in text.splitlines():
+        fields = line.split("\t")
+        if len(fields) > 3 and fields[1] and fields[1] != "-":
+            out.append(fields[1])
+    return out
+
+
+def extract_topics(input_path: str, output_basename: str,
+                   fmt: str = "trec", unique: bool = False) -> int:
+    """The reference's ``extract_topics`` tool
+    (``/root/reference/tools/extract_topics.cpp:12-72``): ``trec`` writes
+    ``<base>.title/.desc/.narr`` as ``num:text`` lines; ``aol`` writes
+    ``<base>.query`` (``id:query``) and, with ``unique``,
+    ``<base>.query.unique`` (sorted distinct).  Returns #records."""
+    with open(input_path, encoding="utf-8", errors="replace") as f:
+        text = f.read()
+    if fmt == "trec":
+        topics = parse_trec_topics(text)
+        for field in ("title", "desc", "narr"):
+            with open(f"{output_basename}.{field}", "w",
+                      encoding="utf-8") as f:
+                for t in topics:
+                    f.write(f"{t['num']}:{t[field]}\n")
+        return len(topics)
+    if fmt == "aol":
+        queries = parse_aol_queries(text)
+        with open(f"{output_basename}.query", "w", encoding="utf-8") as f:
+            for i, q in enumerate(queries):
+                f.write(f"{i}:{q}\n")
+        if unique:
+            with open(f"{output_basename}.query.unique", "w",
+                      encoding="utf-8") as f:
+                for i, q in enumerate(sorted(set(queries))):
+                    f.write(f"{i}:{q}\n")
+        return len(queries)
+    raise ValueError(f"unsupported topics format {fmt!r}")
+
+
 PARSERS = {
     "plaintext": parse_plaintext,
     "trectext": parse_trectext,

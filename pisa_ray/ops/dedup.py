@@ -35,6 +35,30 @@ from pisa_ray.utils import round_half_away
 JOIN_PARTITIONS = 8
 
 
+def drop_empty_blocks(ds, empty: "pa.Table"):
+    """Rebuild ``ds`` from its non-empty blocks only (refs, not data).
+
+    Ray Data passes EMPTY blocks through ``map_batches`` untransformed, so
+    a pipeline whose ``map_groups`` emitted empty frames for some groups
+    carries schema-less empty pandas blocks all the way to a hash join,
+    where Arrow dies with "No match or multiple matches for key field …".
+    Candidate-pair sets are tiny relative to the corpus (ids only), so the
+    materialize is cheap and the rebuild ships object refs, never rows.
+    ``empty`` supplies the canonical typed table when every block is empty.
+    """
+    import ray
+    import ray.data
+
+    m = ds.materialize()
+    refs = [bref
+            for bundle in m.iter_internal_ref_bundles()
+            for bref, meta in bundle.blocks
+            if meta.num_rows]
+    if not refs:
+        return ray.data.from_arrow(empty)
+    return ray.data.from_arrow_refs(refs)
+
+
 # ---------------------------------------------------------------------------
 # stable vectorized hashing
 
@@ -239,6 +263,10 @@ def ngram_jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.1,
     pairs = shingles.groupby("grp").map_groups(
         emit_pairs, batch_format="pandas")
     inter = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="inter"))
+    inter = drop_empty_blocks(inter, pa.table({
+        "a": pa.array([], type=pa.int64()),
+        "b": pa.array([], type=pa.int64()),
+        "inter": pa.array([], type=pa.int64())}))
 
     inter = inter.join(sizes_ds, join_type="inner",
                        num_partitions=JOIN_PARTITIONS,

@@ -56,7 +56,9 @@ def ann_topk(ds, query_matrix: np.ndarray, query_ids, *, k: int = 10,
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         qmat, qids = _cached_get(q_ref)
-        emb = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        emb = np.asarray(batch[vec_col].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False), dtype=np.float64) \
+            .reshape(batch.num_rows, -1)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         sims = qmat @ _normalize(emb).T  # (Q, B)
         out_q, out_v, out_s = [], [], []
@@ -109,7 +111,9 @@ def lsh_ann_topk(ds, query_matrix: np.ndarray, query_ids, *, k: int = 10,
 
     def partial(batch: pa.Table) -> pa.Table:
         qmat, qids, pl, probes = _cached_get(ref)
-        emb = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        emb = np.asarray(batch[vec_col].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False), dtype=np.float64) \
+            .reshape(batch.num_rows, -1)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         en = _normalize(emb)
         sig = ((en @ pl.T) > 0).astype(np.uint32)
@@ -168,34 +172,89 @@ def _block_pair_sims(tbl_a: pa.Table, tbl_b: pa.Table, same: bool,
     })
 
 
-def cosine_dup_pairs(ds, *, threshold: float = 0.95,
-                     vec_col: str = "embedding", id_col: str = "vec_id",
-                     round_decimals: int = 6):
-    """Exact near-dup pairs (cosine ≥ τ, a < b), distributed block-pair.
+def lsh_band_plan(threshold: float, *, miss_prob: float = 1e-6,
+                  max_bands: int = 96, min_planes: int = 6,
+                  max_planes: int = 16) -> Optional[tuple]:
+    """(planes_per_band r, bands L) for hyperplane-LSH banding with pair
+    recall ≥ 1 − miss_prob at cosine ≥ threshold, or None if no plan with
+    ≥ min_planes per band (bucket granularity) fits within max_bands —
+    i.e. the threshold is too low for banding to beat all-pairs.
 
-    The (id, normalized-vector) dataset is materialized in the object
-    store; one Ray task per block pair (i ≤ j) computes that cosine
-    submatrix.  No driver-side or per-worker full-matrix materialization —
-    peak memory per task is two blocks.  The O(N²) compute is inherent to
-    the exact op; the sub-quadratic approximate path is LSH bucketing
-    (``lsh_ann_topk``'s hyperplane banding)."""
-    import ray
-    import ray.data
+    p = P[one hyperplane agrees] = 1 − arccos(τ)/π; a pair at exactly τ
+    collides in a band w.p. p^r, misses all L bands w.p. (1−p^r)^L ≤ ε.
+    Picks the LARGEST r (narrowest buckets → least quadratic in-bucket
+    work) whose required L stays ≤ max_bands."""
+    p = 1.0 - np.arccos(min(1.0, max(-1.0, threshold))) / np.pi
+    best = None
+    for r in range(min_planes, max_planes + 1):
+        pr = p ** r
+        if pr >= 1.0:
+            return (r, 1)
+        L = int(np.ceil(np.log(miss_prob) / np.log(1.0 - pr)))
+        if L <= max_bands:
+            best = (r, L)
+    return best
+
+
+def _norm_batch_fn(vec_col: str, id_col: str):
+    import pyarrow.compute as _pc
 
     def norm_batch(t: pa.Table) -> pa.Table:
-        emb = np.array(t[vec_col].to_pylist(), dtype=np.float64)
+        n = t.num_rows
+        emb = np.asarray(t[vec_col].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False), dtype=np.float64).reshape(n, -1)
         nv = _normalize(emb)
         return pa.table({
-            id_col: pc_cast_i64(t[id_col]),
+            id_col: _pc.cast(t[id_col], pa.int64()),
             "_nvec": pa.array(list(nv), type=pa.list_(pa.float64())),
         })
 
-    import pyarrow.compute as _pc
+    return norm_batch
 
-    def pc_cast_i64(col):
-        return _pc.cast(col, pa.int64())
 
-    compact = ds.map_batches(norm_batch, batch_format="pyarrow").materialize()
+def cosine_dup_pairs(ds, *, threshold: float = 0.95, mode: str = "auto",
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     round_decimals: int = 6, seed: int = 17,
+                     miss_prob: float = 1e-6, max_exact_blocks: int = 512):
+    """Near-dup pairs (cosine ≥ τ, a < b) → Dataset(vec_a, vec_b, sim).
+
+    ``mode="blocked"`` — the scale path: hyperplane-LSH banding
+    (``lsh_band_plan`` picks r planes × L bands for recall ≥ 1−miss_prob
+    at τ), bucket groupby emits candidate ids, a distinct-aggregate dedups
+    them, vectors join back only for candidates, and every emitted pair is
+    verified sim ≥ τ exactly — precision exact, recall ≥ 1−miss_prob, work
+    ∝ bucket collisions (sub-quadratic), no broadcast/driver
+    materialization.  Needs τ high enough for a feasible plan (≈ ≥0.6).
+
+    ``mode="exact"`` — distributed block-pair products: one Ray task per
+    block pair (i ≤ j), peak memory two blocks per task.  O(N²) compute is
+    inherent; the dataset is repartitioned down to ≤ ``max_exact_blocks``
+    blocks so the driver emits a BOUNDED number of tasks (the unbounded
+    B² ref loop was round-2's scale flag) — per-task block size then grows
+    with N, which is the honest cost of an exact all-pairs op.
+
+    ``mode="auto"``: blocked when a plan exists, else exact."""
+    import ray
+    import ray.data
+
+    plan = lsh_band_plan(threshold, miss_prob=miss_prob)
+    if mode == "auto":
+        mode = "blocked" if plan is not None else "exact"
+    if mode == "blocked":
+        if plan is None:
+            raise ValueError(
+                f"no LSH band plan reaches recall 1-{miss_prob} at "
+                f"threshold {threshold}; use mode='exact'")
+        return _cosine_pairs_blocked(ds, threshold, plan, seed, vec_col,
+                                     id_col, round_decimals)
+
+    compact = (ds.map_batches(_norm_batch_fn(vec_col, id_col),
+                              batch_format="pyarrow")
+               .materialize())
+    nblocks = len([1 for bundle in compact.iter_internal_ref_bundles()
+                   for _ in bundle.blocks])
+    if nblocks > max_exact_blocks:
+        compact = compact.repartition(max_exact_blocks).materialize()
     block_refs = [block_ref
                   for bundle in compact.iter_internal_ref_bundles()
                   for block_ref, _m in bundle.blocks]
@@ -212,3 +271,111 @@ def cosine_dup_pairs(ds, *, threshold: float = 0.95,
             "vec_b": pa.array([], type=pa.int64()),
             "sim": pa.array([], type=pa.float64())}))
     return ray.data.from_arrow_refs(out_refs)
+
+
+def _cosine_pairs_blocked(ds, threshold: float, plan: tuple, seed: int,
+                          vec_col: str, id_col: str, round_decimals: int):
+    """LSH-banded candidate generation + exact verification (see
+    ``cosine_dup_pairs``).  Mirrors the minhash-LSH join-mode shape
+    (``pisa_ray/ops/dedup.py``): banding ships only (band, key, id)."""
+    import pandas as pd
+    import pyarrow.compute as _pc
+
+    from pisa_ray.ops.dedup import (_COARSE_BITS, _emit_bucket_pairs,
+                                    _mix_rows_u64, JOIN_PARTITIONS)
+
+    r, L = plan
+    nvecs = _norm_batch_fn(vec_col, id_col)
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        emb = np.asarray(t[vec_col].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False), dtype=np.float64).reshape(n, -1)
+        en = _normalize(emb)
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((L * r, en.shape[1]))
+        bits = (en @ planes.T) > 0                       # (n, L*r)
+        ids = _pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        # pack each band's r bits + the band index into one u64 bucket key
+        keymat = bits.reshape(n, L, r).astype(np.uint64)
+        keys = (keymat << np.arange(r, dtype=np.uint64)[None, None, :]) \
+            .sum(axis=2)                                 # (n, L)
+        mixed = np.stack([_mix_rows_u64(keys[:, [bnd]]) for bnd in range(L)],
+                         axis=1)
+        band_col = np.tile(np.arange(L, dtype=np.int64), n)
+        bucket_col = (mixed.reshape(-1) >> np.uint64(1)).astype(np.int64)
+        coarse = ((band_col << _COARSE_BITS)
+                  | (bucket_col & ((1 << _COARSE_BITS) - 1))).astype(np.int32)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, L), type=pa.int64()),
+            "band": pa.array(band_col.astype(np.int32), type=pa.int32()),
+            "bucket": pa.array(bucket_col, type=pa.int64()),
+            "grp": pa.array(coarse, type=pa.int32()),
+        })
+
+    banded = ds.map_batches(band_rows, batch_format="pyarrow")
+    pairs = banded.groupby("grp").map_groups(
+        _emit_bucket_pairs, batch_format="pandas")
+    from ray.data.aggregate import Count
+
+    from pisa_ray.ops.dedup import drop_empty_blocks
+
+    uniq = pairs.groupby(["a", "b"]).aggregate(
+        Count(alias_name="_n")).drop_columns(["_n"])
+    # empty map_groups outputs produce schema-less blocks that kill the
+    # Arrow hash join below (see drop_empty_blocks)
+    uniq = drop_empty_blocks(uniq, pa.table({
+        "a": pa.array([], type=pa.int64()),
+        "b": pa.array([], type=pa.int64())}))
+
+    def pack(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        flat = np.asarray(t["_nvec"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False), dtype=np.float64).reshape(n, -1)
+        return pa.table({
+            id_col: t[id_col],
+            "vb": pa.array([row.tobytes() for row in flat],
+                           type=pa.binary()),
+        })
+
+    vecs = (ds.map_batches(nvecs, batch_format="pyarrow")
+            .map_batches(pack, batch_format="pyarrow"))
+    wp = uniq.join(vecs, join_type="inner", num_partitions=JOIN_PARTITIONS,
+                   on=("a",), right_on=(id_col,))
+    wp = wp.rename_columns({"vb": "vb_a"})
+    # a join emits schema-less blocks for empty partitions too — scrub
+    # them before they reach the next join's key resolution
+    wp = drop_empty_blocks(wp, pa.table({
+        "a": pa.array([], type=pa.int64()),
+        "b": pa.array([], type=pa.int64()),
+        "vb_a": pa.array([], type=pa.binary())}))
+    wp = wp.join(vecs, join_type="inner", num_partitions=JOIN_PARTITIONS,
+                 on=("b",), right_on=(id_col,))
+    wp = wp.rename_columns({"vb": "vb_b"})
+
+    def verify(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_a": pa.array([], type=pa.int64()),
+                          "vec_b": pa.array([], type=pa.int64()),
+                          "sim": pa.array([], type=pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        va = np.frombuffer(b"".join(batch["vb_a"].to_pylist()),
+                           dtype=np.float64).reshape(len(a), -1)
+        vb = np.frombuffer(b"".join(batch["vb_b"].to_pylist()),
+                           dtype=np.float64).reshape(len(b), -1)
+        sims = np.einsum("ij,ij->i", va, vb)
+        keep = sims >= threshold
+        if not keep.any():
+            return empty
+        lo = np.minimum(a[keep], b[keep])
+        hi = np.maximum(a[keep], b[keep])
+        return pa.table({
+            "vec_a": pa.array(lo, type=pa.int64()),
+            "vec_b": pa.array(hi, type=pa.int64()),
+            "sim": pa.array(round_half_away(sims[keep], round_decimals),
+                            type=pa.float64()),
+        })
+
+    return wp.map_batches(verify, batch_format="pyarrow")

@@ -627,3 +627,142 @@ def taat_maxscore(cursors: List[Cursor], doc_lens: np.ndarray, k: int,
 
 
 ALGORITHMS["taat_maxscore"] = taat_maxscore
+
+
+# ---------------------------------------------------------------------------
+# block-max TAAT: vectorized range-partitioned pruning (the round-3 scale
+# kernel — block-max skipping for the numpy serving path)
+
+RANGE_BITS = 14  # docids per range = 16384; ranges at 3M docs ≈ 190
+
+
+def range_meta(docs: np.ndarray, scores: np.ndarray,
+               range_bits: int = RANGE_BITS):
+    """(rids, starts, rmax): the list's non-empty docid ranges, the offset
+    of each range's first posting, and the EXACT max score within each
+    range (tighter than codec-block maxes, one ``reduceat`` at cache
+    time)."""
+    rid = (docs >> np.int64(range_bits)).astype(np.int64)
+    starts = np.flatnonzero(np.diff(rid)) + 1
+    starts = np.concatenate(([0], starts))
+    rids = rid[starts]
+    rmax = np.maximum.reduceat(scores, starts)
+    return rids, starts, rmax
+
+
+def block_max_taat_arrays(lists, n: int, k: int,
+                          initial_threshold: float = 0.0,
+                          range_bits: int = RANGE_BITS,
+                          metas=None, workspace=None) -> TopKQueue:
+    """Exact top-k via range-partitioned scatter-adds with block-max
+    pruning, fully vectorized.
+
+    The docid space is cut into ``2**range_bits``-doc ranges; every
+    posting of a doc lives in the doc's range, so scoring one range
+    completely finalizes its docs.  Per range, an upper bound
+    ``U[r] = Σ_lists w·max(score in r)`` is computed from per-list EXACT
+    range maxima (``range_meta``, precomputed once per cached list).
+    Ranges are processed in DESCENDING U order — the threshold rises
+    fastest first, and the scan stops at the first range whose bound
+    cannot beat the running k-th score, which wholesale-skips every
+    remaining range (same guarantee as BMW's block-skip, SIGIR'11, at
+    range granularity; processing order is score-at-a-time in the
+    JASS/impact-ordered tradition).
+
+    Tie handling matches the heap convention (``topk.py``): candidates
+    equal to the k-th score are kept until the final
+    (score desc, docid asc) selection, and a range is skipped only when
+    its bound is strictly below the k-th score.
+
+    ``lists`` = [(docs:int64[], scores:float32[], max_score, weight)];
+    ``metas`` optionally supplies each list's ``range_meta`` (else
+    computed here).  ``workspace``: reusable float32 accumulator of
+    length ``2**range_bits``."""
+    q = TopKQueue(k, initial_threshold)
+    keep = [(x, i) for i, x in enumerate(lists)
+            if x is not None and len(x[0])]
+    if not keep:
+        return q
+    rsize = 1 << range_bits
+    nr = (n + rsize - 1) >> range_bits
+    metas = [(metas[i] if metas is not None and metas[i] is not None
+              else range_meta(x[0], x[1], range_bits))
+             for x, i in keep]
+    upper = np.zeros(nr, dtype=np.float64)
+    for (x, _i), (rids, _starts, rmax) in zip(keep, metas):
+        # rids are strictly increasing (sorted docs) → plain fancy add
+        upper[rids] += rmax.astype(np.float64) * x[3]
+    order = np.argsort(-upper, kind="stable")
+    # strict entry threshold: scores must exceed it to matter; == kth kept
+    thr_strict = float(np.nextafter(np.float32(initial_threshold),
+                                    np.float32(0.0)))
+    local = workspace if workspace is not None and len(workspace) >= rsize \
+        else np.zeros(rsize, dtype=np.float32)
+    pool_d: List[np.ndarray] = []
+    pool_s: List[np.ndarray] = []
+    pool_n = 0
+    for r in order:
+        if upper[r] <= thr_strict:
+            break
+        base = int(r) << range_bits
+        touched_idx = []
+        for (x, _i), (rids, starts, _rmax) in zip(keep, metas):
+            j = np.searchsorted(rids, r)
+            if j >= len(rids) or rids[j] != r:
+                continue
+            lo = starts[j]
+            hi = starts[j + 1] if j + 1 < len(starts) else len(x[0])
+            idx = x[0][lo:hi] - base
+            add = x[1][lo:hi]
+            if x[3] != 1.0:
+                add = add * np.float32(x[3])
+            local[idx] += add
+            touched_idx.append(idx)
+        if not touched_idx:
+            continue
+        tix = np.concatenate(touched_idx) if len(touched_idx) > 1 \
+            else touched_idx[0]
+        cand = tix if len(touched_idx) == 1 else np.unique(tix)
+        sc = local[cand]
+        m = sc > np.float32(thr_strict)
+        if m.any():
+            pool_d.append(cand[m] + base)
+            pool_s.append(sc[m].copy())
+            pool_n += int(m.sum())
+        local[tix] = 0.0
+        if pool_n >= k:
+            pd = np.concatenate(pool_d) if len(pool_d) > 1 else pool_d[0]
+            ps = np.concatenate(pool_s) if len(pool_s) > 1 else pool_s[0]
+            kth = float(np.partition(ps, len(ps) - k)[len(ps) - k])
+            thr_strict = max(thr_strict,
+                             float(np.nextafter(np.float32(kth),
+                                                np.float32(0.0))))
+            keep_m = ps >= np.float32(kth)
+            pool_d, pool_s = [pd[keep_m]], [ps[keep_m]]
+            pool_n = int(keep_m.sum())
+    if pool_n == 0:
+        return q
+    pd = np.concatenate(pool_d) if len(pool_d) > 1 else pool_d[0]
+    ps = np.concatenate(pool_s) if len(pool_s) > 1 else pool_s[0]
+    sel = np.lexsort((pd, -ps.astype(np.float64)))[:k]
+    for o in sel:
+        q.insert(float(ps[o]), int(pd[o]))
+    return q
+
+
+def block_max_taat(cursors: List[Cursor], doc_lens: np.ndarray, k: int,
+                   initial_threshold: float = 0.0) -> TopKQueue:
+    """Cursor-API wrapper over ``block_max_taat_arrays`` (decode + score
+    each list once, like ``taat_maxscore``).  Rank-identical to
+    ``ranked_or``."""
+    lists = []
+    for c in cursors:
+        docs, freqs = c.pl.decode()
+        idx = docs.astype(np.int64)
+        scores = c.scorer(freqs, doc_lens[idx]).astype(np.float32)
+        lists.append((idx, scores, float(c.pl.max_score),
+                      float(c.q_weight)))
+    return block_max_taat_arrays(lists, len(doc_lens), k, initial_threshold)
+
+
+ALGORITHMS["block_max_taat"] = block_max_taat

@@ -65,6 +65,8 @@ class QueryEngine:
         self._scored_cache_postings = 0
         self.scored_cache_max_postings = 100_000_000  # ~1.2 GB
         self._taat_ws = None  # reusable (acc, touched) accumulator pair
+        self._bmt_ws = None   # reusable range-local accumulator
+        self._range_meta = {}  # term_id -> range_meta (block_max_taat)
 
     def scored_postings(self, term_id: int):
         """(docs:int64[], scores:float32[], max_score) for one term, from
@@ -116,18 +118,34 @@ class QueryEngine:
                 "QueryEngine was built with doc_range=%r; use run_shard()"
                 % (self.index.doc_range,))
         term_ids, weights = self.parse_query(query, weighted)
-        if algorithm == "taat_maxscore" and not range_size:
+        if algorithm in ("taat_maxscore", "block_max_taat") and not range_size:
             # serve from the per-actor scored-postings cache: per query
             # this is pure numpy scatter-adds, no decode
-            from pisa_ray.query.algorithms import taat_maxscore_arrays
+            from pisa_ray.query.algorithms import (
+                RANGE_BITS, block_max_taat_arrays, range_meta,
+                taat_maxscore_arrays)
 
-            lists = []
+            lists, metas = [], []
             for i, t in enumerate(term_ids):
                 sp = self.scored_postings(t)
                 if sp is not None:
                     w = weights[i] if weights else 1.0
                     lists.append((sp[0], sp[1], sp[2], float(w)))
+                    if algorithm == "block_max_taat":
+                        rm = self._range_meta.get(t)
+                        if rm is None and t in self._scored_cache:
+                            rm = range_meta(sp[0], sp[1], RANGE_BITS)
+                            self._range_meta[t] = rm
+                        metas.append(rm)
             n = len(self.index.doc_lens)
+            if algorithm == "block_max_taat":
+                if self._bmt_ws is None:
+                    self._bmt_ws = np.zeros(1 << RANGE_BITS,
+                                            dtype=np.float32)
+                q = block_max_taat_arrays(lists, n, k, initial_threshold,
+                                          metas=metas,
+                                          workspace=self._bmt_ws)
+                return q.finalize()
             if self._taat_ws is None or len(self._taat_ws[0]) != n:
                 self._taat_ws = (np.zeros(n, dtype=np.float32),
                                  np.zeros(n, dtype=bool))

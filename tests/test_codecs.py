@@ -7,7 +7,8 @@ from pisa_ray.codecs import get_codec
 from pisa_ray.index.postings import encode_segment, SegmentView
 
 
-BLOCK_CODECS = ["bitpack", "varbyte", "streamvbyte", "simple8b", "optpfor"]
+BLOCK_CODECS = ["bitpack", "varbyte", "streamvbyte", "simple8b", "optpfor",
+                "maskedvbyte", "varintgb"]
 MONO_CODECS = ["ef", "pefuniform", "pefopt", "interpolative"]
 
 
@@ -43,8 +44,25 @@ def test_monotone_roundtrip_property(codec, values):
     assert list(out) == list(vals)
 
 
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**28 - 1),
+                min_size=1, max_size=256))
+def test_simple16_roundtrip(values):
+    enc, dec = get_codec("simple16")
+    a = np.array(values, dtype=np.uint32)
+    out = dec(enc(a), len(a))
+    assert out.dtype == np.uint32
+    assert list(out) == values
+
+
+def test_simple16_rejects_wide():
+    enc, _ = get_codec("simple16")
+    with pytest.raises(ValueError):
+        enc(np.array([1 << 28], dtype=np.uint32))
+
+
 def test_empty():
-    for codec in BLOCK_CODECS + MONO_CODECS:
+    for codec in BLOCK_CODECS + MONO_CODECS + ["simple16"]:
         enc, dec = get_codec(codec)
         assert enc(np.empty(0, dtype=np.uint32)) == b""
         assert len(dec(b"", 0)) == 0
@@ -52,7 +70,8 @@ def test_empty():
 
 @pytest.mark.parametrize("codec", ["streamvbyte", "simple8b", "optpfor",
                                    "pefuniform", "pefopt",
-                                   "interpolative"])
+                                   "interpolative", "maskedvbyte",
+                                   "varintgb", "simple16"])
 @settings(max_examples=20, deadline=None)
 @given(docset=st.sets(st.integers(min_value=0, max_value=10**6), min_size=1,
                       max_size=500),

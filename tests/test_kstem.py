@@ -88,3 +88,56 @@ def test_krovetz_index_build_matches_hand_oracle(ray_session, tmp_path):
         want = sorted(postings[term])
         assert list(zip(docs, freqs)) == [(np.uint64(d), np.uint32(f))
                                           for d, f in want]
+
+
+def test_krovetz_lexicon_gated():
+    from pisa_ray.analysis.kstem import KrovetzStemmer, krovetz_stem
+
+    lex = {"create", "formal", "kind", "easy", "quick", "refuse",
+           "summary", "place", "read", "consistent", "active", "nation"}
+    ks = KrovetzStemmer(lex)
+    # derivational steps commit only on a headword hit
+    assert ks.stem("creation") == "create"
+    assert ks.stem("formality") == "formal"
+    assert ks.stem("kindness") == "kind"
+    assert ks.stem("easier") == "easy"
+    assert ks.stem("quickly") == "quick"
+    assert ks.stem("refusal") == "refuse"
+    assert ks.stem("summarize") == "summary"
+    assert ks.stem("placement") == "place"
+    assert ks.stem("readable") == "read"
+    assert ks.stem("consistency") == "consistent"
+    assert ks.stem("activity") == "active"
+    # no headword -> the rewrite does NOT fire
+    assert ks.stem("diplomacy") == "diplomacy"
+    # a word that IS a headword is never rewritten
+    assert ks.stem("nation") == "nation"
+    # without a lexicon, identical to the rule subset
+    bare = KrovetzStemmer()
+    for w in ["flies", "stopped", "making", "creation", "activity"]:
+        assert bare.stem(w) == krovetz_stem(w)
+
+
+def test_krovetz_exceptions_and_files(tmp_path):
+    from pisa_ray.analysis.kstem import KrovetzStemmer
+
+    lp = tmp_path / "lex.txt"
+    lp.write_text("create\nread\n")
+    ep = tmp_path / "exc.txt"
+    ep.write_text("geese goose\n")
+    ks = KrovetzStemmer.from_files(str(lp), str(ep))
+    assert ks.stem("geese") == "goose"
+    assert ks.stem("creation") == "create"
+    # 'readable' not in this lexicon; the -ability family's fallback
+    # ("accountability"->"account") conflates to the headword 'read'
+    assert ks.stem("readability") == "read"
+
+
+def test_analyzer_kstem_lexicon(tmp_path):
+    from pisa_ray.analysis.analyzer import AnalyzerConfig, TextAnalyzer
+
+    lp = tmp_path / "lex.txt"
+    lp.write_text("create\n")
+    an = TextAnalyzer(AnalyzerConfig(
+        token_filters=("lowercase", "krovetz"), kstem_lexicon=str(lp)))
+    assert an.analyze("Creation stories") == ["create", "story"]

@@ -115,6 +115,47 @@ def test_cosine_dup_pairs(emb_ds, ray_session):
     assert set(zip(res["vec_a"], res["vec_b"])) == {(0, 1)}
 
 
+def test_cosine_dup_pairs_blocked_equals_exact(ray_session):
+    """The LSH-blocked scale path finds the same pair set as the exact
+    block-pair path on planted near-dups (recall bound 1-1e-6 at τ)."""
+    import ray.data
+
+    from pisa_ray.ops.similarity import cosine_dup_pairs, lsh_band_plan
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((300, 32))
+    # plant 25 near-duplicate pairs (sim >= ~0.99)
+    for i in range(25):
+        base[2 * i + 1] = base[2 * i] + 0.05 * rng.standard_normal(32)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(300), type=pa.int64()),
+        "embedding": pa.array([r.tolist() for r in base],
+                              type=pa.list_(pa.float64())),
+    }))
+    exact = cosine_dup_pairs(ds, threshold=0.95, mode="exact").to_pandas()
+    blocked = cosine_dup_pairs(ds, threshold=0.95, mode="blocked").to_pandas()
+    se = set(zip(exact["vec_a"], exact["vec_b"]))
+    sb = set(zip(blocked["vec_a"], blocked["vec_b"]))
+    assert len(se) >= 25
+    assert se == sb
+    # sims agree where both emit
+    me = dict(zip(zip(exact["vec_a"], exact["vec_b"]), exact["sim"]))
+    mb = dict(zip(zip(blocked["vec_a"], blocked["vec_b"]), blocked["sim"]))
+    for k in me:
+        assert abs(me[k] - mb[k]) < 1e-9
+
+
+def test_lsh_band_plan():
+    from pisa_ray.ops.similarity import lsh_band_plan
+
+    plan = lsh_band_plan(0.95)
+    assert plan is not None
+    r, L = plan
+    p = 1.0 - np.arccos(0.95) / np.pi
+    assert (1.0 - p ** r) ** L <= 1e-6          # recall bound holds
+    assert lsh_band_plan(0.35) is None          # too low for banding
+
+
 def test_lsh_ann_finds_self(emb_ds, ray_session):
     from pisa_ray.ops.similarity import lsh_ann_topk
 

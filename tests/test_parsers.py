@@ -96,3 +96,79 @@ def test_read_collection_dataset(ray_session, tmp_path):
     df = ds.to_pandas().sort_values("docno").reset_index(drop=True)
     assert list(df["docno"]) == ["WSJ870324-0001", "WSJ870324-0002"]
     assert "First paragraph" in df["text"][0]
+
+
+TOPICS = """
+<top>
+<num> Number: 301
+<title> International Organized Crime
+
+<desc> Description:
+Identify organizations that participate in international
+criminal activity.
+
+<narr> Narrative:
+A relevant document must as a minimum identify the organization.
+</top>
+
+<top>
+<num> Number: 302 </num>
+<title> Poliomyelitis and Post-Polio </title>
+<desc> Description: Is the disease under control?
+<narr> Narrative: Vaccination programs count.
+</top>
+"""
+
+
+def test_parse_trec_topics():
+    from pisa_ray.io.parsers import parse_trec_topics
+
+    topics = parse_trec_topics(TOPICS)
+    assert [t["num"] for t in topics] == ["301", "302"]
+    t = topics[0]
+    assert t["title"] == "International Organized Crime"
+    # newlines collapsed to single spaces, label stripped
+    assert t["desc"] == ("Identify organizations that participate in "
+                         "international criminal activity.")
+    assert t["narr"].startswith("A relevant document must")
+    assert topics[1]["title"] == "Poliomyelitis and Post-Polio"
+
+
+def test_parse_aol_queries():
+    from pisa_ray.io.parsers import parse_aol_queries
+
+    text = ("u1\tcheap flights\t2006-03-01\t1\thttp://x\n"
+            "u2\t-\t2006-03-01\t1\thttp://y\n"
+            "u3\t\t2006-03-01\t1\thttp://z\n"
+            "u4\tshort line\t2006-03-01\n")  # 3 fields only -> skipped
+    qs = parse_aol_queries(text)
+    assert qs == ["cheap flights"]
+
+
+def test_extract_topics_cli(tmp_path):
+    from pisa_ray.cli import main
+
+    inp = tmp_path / "topics.sgml"
+    inp.write_text(TOPICS)
+    base = str(tmp_path / "out")
+    rc = main(["extract-topics", "-i", str(inp), "-o", base, "-f", "trec"])
+    assert rc == 0
+    titles = (tmp_path / "out.title").read_text().splitlines()
+    assert titles == ["301:International Organized Crime",
+                      "302:Poliomyelitis and Post-Polio"]
+    descs = (tmp_path / "out.desc").read_text().splitlines()
+    assert descs[0].startswith("301:Identify organizations")
+    assert (tmp_path / "out.narr").exists()
+
+
+def test_extract_topics_aol_unique(tmp_path):
+    from pisa_ray.io.parsers import extract_topics
+
+    inp = tmp_path / "aol.txt"
+    inp.write_text("u1\tzebra\t1\t2\nu2\tapple\t1\t2\nu3\tzebra\t1\t2\n")
+    n = extract_topics(str(inp), str(tmp_path / "q"), fmt="aol", unique=True)
+    assert n == 3
+    assert (tmp_path / "q.query").read_text().splitlines() == [
+        "0:zebra", "1:apple", "2:zebra"]
+    assert (tmp_path / "q.query.unique").read_text().splitlines() == [
+        "0:apple", "1:zebra"]

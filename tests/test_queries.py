@@ -247,3 +247,44 @@ def test_taat_maxscore_rank_identical(engine, k):
         got = eng.run(text, k=k, algorithm="taat_maxscore")
         want = oracle.topk(text, k=k)
         assert_topk_equivalent(got, want, f"{qid} taat_maxscore k={k}")
+
+
+@pytest.mark.parametrize("k", [3, 10, 50])
+def test_block_max_taat_rank_identical(engine, k):
+    eng, oracle, _ = engine
+    for qid, text in QUERIES:
+        got = eng.run(text, k=k, algorithm="block_max_taat")
+        want = oracle.topk(text, k=k)
+        assert_topk_equivalent(got, want, f"{qid} block_max_taat k={k}")
+
+
+def test_block_max_taat_arrays_random():
+    """Kernel-level fuzz vs a brute-force accumulator, including ties,
+    small ranges (range_bits=4 → many ranges + skips), weights and an
+    initial threshold."""
+    import numpy as np
+
+    from pisa_ray.query.algorithms import block_max_taat_arrays
+
+    rng = np.random.default_rng(5)
+    n = 1000
+    for trial in range(25):
+        m = rng.integers(1, 5)
+        lists = []
+        dense = np.zeros(n, dtype=np.float32)
+        for _ in range(m):
+            sz = int(rng.integers(1, 400))
+            docs = np.sort(rng.choice(n, size=sz, replace=False)).astype(np.int64)
+            # quantized scores → frequent exact ties
+            scores = (rng.integers(1, 8, size=sz) * 0.25).astype(np.float32)
+            w = float(rng.choice([1.0, 2.0]))
+            lists.append((docs, scores, float(scores.max()), w))
+            dense[docs] += scores * np.float32(w)
+        k = int(rng.integers(1, 20))
+        q = block_max_taat_arrays(lists, n, k, range_bits=4)
+        got = q.finalize()
+        cand = np.flatnonzero(dense > 0)
+        order = np.lexsort((cand, -dense[cand].astype(np.float64)))[:k]
+        want = [(float(dense[cand[o]]), int(cand[o])) for o in order]
+        assert [(round(s, 5), d) for s, d in got] == \
+            [(round(s, 5), d) for s, d in want], f"trial {trial}"
