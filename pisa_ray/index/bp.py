@@ -226,3 +226,103 @@ def _bp_branch_task(indptr, indices, order, num_terms, iterations,
     return _bp_order(indptr, indices, order, num_terms,
                      iterations=iterations, min_partition=min_partition,
                      seed=seed)
+
+
+# ---------------------------------------------------------------------------
+# distributed BP: block-diagonal partitioned bisection
+
+def bp_mapping_partitioned(fwd_dir: str, num_docs: int, *,
+                           partition_docs: int = 1 << 20,
+                           iterations: int = 20, min_partition: int = 32,
+                           seed: int = 1):
+    """→ Dataset(doc_id, new_doc_id): BP reordering that scales past the
+    single-driver CSR (``bp_mapping_from_fwd`` tops out around ~10M docs).
+
+    The docid space is cut into fixed ``partition_docs``-wide ranges and
+    BP runs INDEPENDENTLY inside each range (one ``map_groups`` call per
+    range, local CSR, local term ids).  The permutation is therefore
+    block-diagonal: range r's docs are reordered within
+    ``[r·W, min((r+1)·W, num_docs))``.  This is the standard scale-out
+    of the KDD'16 algorithm — the top ``log2(P)`` bisection levels are
+    replaced by the existing global order's range splits, which for this
+    engine's sorted-URL docid assignment (SURVEY §2.7) is exactly the
+    locality BP's own first levels would rediscover: gap-locality is a
+    within-neighborhood property, and ranges preserve URL neighborhoods.
+    Docs absent from the fwd checkpoint (all tokens filtered) fill each
+    range's trailing slots in old-docid order; ranges with NO fwd rows
+    produce no group — consume the mapping with ``assign_mapping_ds``,
+    whose left join fills identity for them (identity within a full
+    block is closed, so the global mapping stays a bijection).
+
+    Shuffle cost: ONE groupby of (doc_id, term) rows keyed by
+    ``doc_id // W`` — and because the fwd checkpoint is already written
+    in docid order, that exchange moves nearly-sorted blocks."""
+    import os
+
+    import pyarrow as pa
+    import pandas as pd
+    import ray.data
+
+    W = int(partition_docs)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("part", pa.array(d // W, type=pa.int64()))
+
+    def bp_group(df: pd.DataFrame) -> pd.DataFrame:
+        part = int(df["part"].iloc[0])
+        base = part * W
+        hi = min(base + W, int(num_docs))
+        docs = df["doc_id"].to_numpy().astype(np.int64)
+        tids, _uniq = pd.factorize(df["term"], sort=True)
+        present = np.unique(docs)
+        local = np.searchsorted(present, docs)
+        order_rows = np.argsort(local, kind="stable")
+        counts = np.bincount(local, minlength=len(present))
+        indptr = np.zeros(len(present) + 1, dtype=np.int64)
+        indptr[1:] = np.cumsum(counts)
+        indices = tids[order_rows].astype(np.int64)
+        bp = _bp_order(indptr, indices,
+                       np.arange(len(present), dtype=np.int64),
+                       int(tids.max()) + 1 if len(tids) else 0,
+                       iterations=iterations, min_partition=min_partition,
+                       seed=seed + part)
+        new_of_present = np.empty(len(present), dtype=np.int64)
+        new_of_present[bp] = base + np.arange(len(present), dtype=np.int64)
+        absent = np.setdiff1d(np.arange(base, hi, dtype=np.int64), present,
+                              assume_unique=True)
+        return pd.DataFrame({
+            "doc_id": np.concatenate([present, absent]),
+            "new_doc_id": np.concatenate([
+                new_of_present,
+                base + len(present) + np.arange(len(absent),
+                                                dtype=np.int64)]),
+        })
+
+    fwd = ray.data.read_parquet(fwd_dir, columns=["doc_id", "term"])
+    return (fwd.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(bp_group, batch_format="pandas"))
+
+
+def assign_mapping_ds(ds, mapping_ds, *, id_col: str = "doc_id",
+                      num_partitions: int = 8):
+    """Distributed docid remap: left-join ``ds`` against a
+    Dataset(doc_id, new_doc_id) mapping (the ``bp_mapping_partitioned``
+    output) and swap ids; docs missing from the mapping keep their id
+    (identity fill — see ``bp_mapping_partitioned``).  The Dataset-join
+    counterpart of ``reorder.assign_mapping``'s broadcast dict."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    joined = ds.join(mapping_ds, join_type="left_outer",
+                     num_partitions=num_partitions,
+                     on=(id_col,), right_on=("doc_id",))
+
+    def swap(t: pa.Table) -> pa.Table:
+        new = pc.coalesce(pc.cast(t["new_doc_id"], pa.int64()),
+                          pc.cast(t[id_col], pa.int64()))
+        i = t.schema.get_field_index(id_col)
+        return t.set_column(i, id_col, new).drop_columns(["new_doc_id"])
+
+    return joined.map_batches(swap, batch_format="pyarrow")

@@ -116,3 +116,54 @@ def test_bp_end_to_end_rank_identical_and_smaller(ray_session, tmp_path):
         fb = eng_b.run(q, k=len(texts), algorithm="ranked_or")
         assert {(round(s, 4), int(perm[d])) for s, d in fa} == \
             {(round(s, 4), d) for s, d in fb}
+
+
+def test_bp_partitioned_mapping(ray_session, tmp_path):
+    """Partitioned BP: block-diagonal bijection, gap cost no worse than
+    identity within each block, absent docs filled, identity join for
+    empty ranges."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from pisa_ray.index.bp import assign_mapping_ds, bp_mapping_partitioned
+
+    doc_terms, _ = _two_cluster_corpus(n=48)
+    # docs 10 and 47 have no tokens (absent from fwd); doc range padded
+    # to 64 so the last range [32, 64) is partially filled and range
+    # [48, 64) ... keep num_docs=50 -> ranges [0,32) and [32,50)
+    rows_d, rows_t = [], []
+    for d, ts in enumerate(doc_terms):
+        if d in (10, 47):
+            continue
+        for t in ts:
+            rows_d.append(d)
+            rows_t.append(f"term{t:02d}")
+    fwd = tmp_path / "fwd"
+    os.makedirs(fwd)
+    pq.write_table(pa.table({"doc_id": pa.array(rows_d, type=pa.int64()),
+                             "term": pa.array(rows_t)}),
+                   str(fwd / "part-0.parquet"))
+    m = bp_mapping_partitioned(str(fwd), num_docs=50, partition_docs=32,
+                               min_partition=4).to_pandas()
+    assert len(m) == 50
+    assert sorted(m["doc_id"]) == list(range(50))
+    assert sorted(m["new_doc_id"]) == list(range(50))
+    lut = dict(zip(m["doc_id"], m["new_doc_id"]))
+    # block-diagonal: each doc stays in its range
+    for d, nd in lut.items():
+        assert (d < 32) == (nd < 32)
+    # clusters separate within the first full range
+    parity = [d % 2 for d in sorted(range(32), key=lambda d: lut[d])
+              if d != 10]
+    assert parity[:15].count(parity[0]) == 15
+    # the mapping-join consumer swaps ids and identity-fills misses
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 5, 49, 1000], type=pa.int64()),
+        "x": pa.array([1, 2, 3, 4], type=pa.int64())}))
+    out = assign_mapping_ds(ds, bp_mapping_partitioned(
+        str(fwd), num_docs=50, partition_docs=32, min_partition=4))
+    odf = out.to_pandas().sort_values("x")
+    assert list(odf["doc_id"])[:3] == [lut[0], lut[5], lut[49]]
+    assert list(odf["doc_id"])[3] == 1000  # unseen id -> identity
