@@ -10,7 +10,7 @@ Pipelines timed:
     url-rank docids; full analyze → lexicon → sort shuffle → compressed
     segments + WAND) — the engine's headline docs/sec metric.
   * query_topk  — fixed BM25 query set served repeatedly through the
-    actor-pool executor (taat_maxscore, the vectorized pruned path; the
+    actor-pool executor (block_max_taat, the vectorized block-pruned path; the
     per-posting BMW/maxscore kernels are parity paths), with per-query
     latency.
   * minhash_dedup — MinHash-LSH near-dup pairs over the sf documents table.
@@ -131,7 +131,7 @@ def run_bench() -> dict:
         vocab_queries.append((qid, " ".join(ws)))
     t0 = time.time()
     res = run_queries(vocab_queries, out_dir, k=10,
-                      algorithm="taat_maxscore",
+                      algorithm="block_max_taat",
                       concurrency=min(16, max(2, NUM_CPUS - 2)),
                       batch_size=8)
     n_results = res.count()
@@ -179,19 +179,24 @@ def run_bench() -> dict:
     }
 
 
-def _wait_quiet(budget: list) -> None:
-    """Block until the box is idle (1-min loadavg < PISA_RAY_QUIET_LOAD,
-    default 2.0) or the shared wait budget (PISA_RAY_QUIET_BUDGET sec,
-    default 1800 across the whole --scaling run) is exhausted.
+def _wait_quiet(budget: list, ncpu: int = 32) -> None:
+    """Block until starting an ``ncpu``-CPU rep would not oversubscribe
+    the box (1-min loadavg < total_cpus − ncpu + slack, overridable with
+    PISA_RAY_QUIET_LOAD), or the shared wait budget (PISA_RAY_QUIET_BUDGET
+    sec, default 1800 across the whole --scaling run) is exhausted.
 
     This sandbox shares its host: bursts of external load 7-27 arrive
-    for tens of minutes at a time and inflate any rep they overlap by
-    2-4x, turning a scaling measurement into a measurement of someone
-    else's job.  A multi-node cluster run (`ray job submit`, the north
-    rule's real protocol) owns its nodes; gating reps on machine
-    idleness is the single-box stand-in for that, and is reported
-    honestly in the artifact (waited_sec)."""
-    thresh = float(os.environ.get("PISA_RAY_QUIET_LOAD", "2.0"))
+    for tens of minutes at a time.  Contention only exists when TOTAL
+    demand (ambient + our leg) exceeds the core count — a 4- or 16-CPU
+    leg coexists with ambient load that would wreck a 32-CPU leg.  A
+    multi-node cluster run (`ray job submit`, the north rule's real
+    protocol) owns its nodes; gating reps on available headroom is the
+    single-box stand-in for that, reported honestly in the artifact
+    (waited_sec, rep_ambient_loads)."""
+    total = os.cpu_count() or 32
+    slack = float(os.environ.get("PISA_RAY_SCALING_LOAD_SLACK", "3.0"))
+    thresh = float(os.environ.get(
+        "PISA_RAY_QUIET_LOAD", max(2.0, total - ncpu + slack)))
     while budget[0] > 0:
         try:
             with open("/proc/loadavg") as f:
@@ -249,9 +254,11 @@ def run_scaling() -> dict:
     retries = [int(os.environ.get("PISA_RAY_SCALING_RETRIES", "4"))]
     ambients: list = []
 
+    total_cpus = os.cpu_count() or 32
+
     def run(ncpu: int) -> dict:
         while True:
-            _wait_quiet(quiet_budget)
+            _wait_quiet(quiet_budget, ncpu)
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                        PISA_RAY_BENCH_PAGES=str(SCALING_PAGES),
                        PISA_RAY_BENCH_STAGES="index")
@@ -261,18 +268,21 @@ def run_scaling() -> dict:
                     capture_output=True, text=True, check=True,
                     cwd=os.path.dirname(os.path.abspath(__file__))).stdout
             ambient = max(0.0, mon.mean() - ncpu)
-            ambients.append({"ncpu": ncpu, "ambient": round(ambient, 1)})
+            # contention = total demand exceeded the box while this rep ran
+            polluted = mon.mean() > total_cpus + slack
+            ambients.append({"ncpu": ncpu, "ambient": round(ambient, 1),
+                             "polluted": polluted})
             rep = json.loads(out.strip().splitlines()[-1])
-            if ambient <= slack or retries[0] <= 0 or quiet_budget[0] <= 0:
-                if ambient > slack:
+            if not polluted or retries[0] <= 0 or quiet_budget[0] <= 0:
+                if polluted:
                     print(f"[scaling] accepting polluted rep "
                           f"(ambient {ambient:.1f}, retries exhausted)",
                           file=sys.stderr, flush=True)
                 return rep
             retries[0] -= 1
-            print(f"[scaling] rep at {ncpu} cpus saw ambient load "
-                  f"{ambient:.1f} > {slack}; retrying "
-                  f"({retries[0]} retries left)", file=sys.stderr, flush=True)
+            print(f"[scaling] rep at {ncpu} cpus oversubscribed the box "
+                  f"(mean load {mon.mean():.1f}, ambient {ambient:.1f}); "
+                  f"retrying ({retries[0]} left)", file=sys.stderr, flush=True)
 
     # Warmup pass per level (untimed) + best-of-N timed runs — the
     # reference's own bench protocol (tools/queries.cpp:70-115).  The

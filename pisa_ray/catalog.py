@@ -312,12 +312,13 @@ SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS num_docs,
 FROM toks"""
 
 
-def _ranked_results(sf_dir: str) -> pd.DataFrame:
+def _ranked_results(sf_dir: str,
+                    algorithm: str = "ranked_or_taat") -> pd.DataFrame:
     """Engine-side ranked lists on ROUNDED scores (see module docstring)."""
     eng = _engine(sf_dir)
     frames = []
     for qid, terms in QUERY_SET:
-        res = eng.run(" ".join(terms), k=10 ** 9, algorithm="ranked_or_taat")
+        res = eng.run(" ".join(terms), k=10 ** 9, algorithm=algorithm)
         if not res:
             continue
         scores = _round_match([s for s, _ in res], 4)
@@ -334,6 +335,14 @@ def _ranked_results(sf_dir: str) -> pd.DataFrame:
 
 def q_bm25_topk(sf_dir: str) -> pd.DataFrame:
     df = _ranked_results(sf_dir)
+    return df[df["rank"] <= TOPK].reset_index(drop=True)
+
+
+def q_bm25_topk_bmt(sf_dir: str) -> pd.DataFrame:
+    """Same ranked protocol served by the block_max_taat kernel (the
+    round-3 vectorized block-pruned scale path) — driver-certifies its
+    rank identity against the same SQL oracle as bm25_topk."""
+    df = _ranked_results(sf_dir, algorithm="block_max_taat")
     return df[df["rank"] <= TOPK].reset_index(drop=True)
 
 
@@ -968,6 +977,7 @@ QUERIES: Dict[str, Callable] = {
     "postings_simple16": make_q_postings_codec("simple16"),
     "collection_stats": q_collection_stats,
     "bm25_topk": q_bm25_topk,
+    "bm25_topk_bmt": q_bm25_topk_bmt,
     "thresholds": q_thresholds,
     "bool_counts": q_bool_counts,
     "term_max_scores": q_term_max_scores,
@@ -1006,6 +1016,7 @@ ORACLE_SQL: Dict[str, str] = {
     "postings_simple16": SQL_POSTINGS,
     "collection_stats": SQL_COLLECTION_STATS,
     "bm25_topk": SQL_BM25_TOPK,
+    "bm25_topk_bmt": SQL_BM25_TOPK,
     "thresholds": SQL_THRESHOLDS,
     "bool_counts": SQL_BOOL_COUNTS,
     "term_max_scores": SQL_TERM_MAX_SCORES,

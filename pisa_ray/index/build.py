@@ -432,8 +432,10 @@ def term_ids_from_column(col, terms) -> np.ndarray:
     ``pc.index_in`` and gather per-row ids with one numpy take — per-row
     string hashing was the hottest kernel in the whole build under
     many-core concurrency."""
+    from pisa_ray.utils import alloc_array
+
     chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
-    out = np.empty(sum(len(c) for c in chunks), dtype=np.uint64)
+    out = alloc_array(sum(len(c) for c in chunks), np.uint64)
     off = 0
     for c in chunks:
         n = len(c)
@@ -490,10 +492,17 @@ def encode_segments_batch(batch: pa.Table, *, stats: CollectionStats,
     num_terms = len(df_arr)
     dtype = np.float32 if cfg.score_dtype == "float32" else np.float64
     scorer = make_scorer(cfg.scorer, dtype=dtype, **dict(cfg.scorer_params))
+    from pisa_ray.utils import alloc_array
+
     if "sort_key" in batch.column_names:
-        key = batch["sort_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        term_ids = (key >> np.uint64(cfg.doc_id_bits)).astype(np.uint32)
-        doc_ids = key & np.uint64((1 << cfg.doc_id_bits) - 1)
+        key = batch["sort_key"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64, copy=False)
+        # populate-backed scratch; ufunc out= avoids fresh faulting allocs
+        term_ids = alloc_array(len(key), np.uint64)
+        np.right_shift(key, np.uint64(cfg.doc_id_bits), out=term_ids)
+        doc_ids = alloc_array(len(key), np.uint64)
+        np.bitwise_and(key, np.uint64((1 << cfg.doc_id_bits) - 1),
+                       out=doc_ids)
     else:
         term_ids = batch["term_id"].to_numpy(zero_copy_only=False)
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -504,8 +513,10 @@ def encode_segments_batch(batch: pa.Table, *, stats: CollectionStats,
         global_max = _cached_get(max_score_ref)
         quantizer = lambda sc: quantize_scores(sc, global_max,
                                                cfg.quantize_bits)
-    tfs = batch["tf"].to_numpy(zero_copy_only=False).astype(np.uint32)
-    doc_lens = batch["doc_len"].to_numpy(zero_copy_only=False).astype(np.uint32)
+    tfs = batch["tf"].to_numpy(zero_copy_only=False) \
+        .astype(np.uint32, copy=False)
+    doc_lens = batch["doc_len"].to_numpy(zero_copy_only=False) \
+        .astype(np.uint32, copy=False)
 
     rows: Dict[str, list] = {k: [] for k in (
         "term_id", "shard", "df", "occ", "first_doc", "last_doc",

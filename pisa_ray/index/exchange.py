@@ -123,11 +123,16 @@ def _exchange_map(files: List, terms_ref_box, doc_id_bits: int,
             n_total += n
     _marks["scan"] = _t.time() - _t0
 
+    from pisa_ray.utils import alloc_array
+
     offsets = np.zeros(P + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
-    key_out = np.empty(n_total, dtype=np.uint64)
-    tf_out = np.empty(n_total, dtype=np.uint32)
-    dl_out = np.empty(n_total, dtype=np.uint32)
+    # MAP_POPULATE buffers: one populate syscall instead of ~100k
+    # first-touch faults per task — the faults, not the copies, were the
+    # scatter wall under concurrency (54 s/task measured at 16-way)
+    key_out = alloc_array(n_total, np.uint64)
+    tf_out = alloc_array(n_total, np.uint32)
+    dl_out = alloc_array(n_total, np.uint32)
     cursor = offsets[:-1].copy()
     for key, parts, tf, dl in per_block:
         order = np.argsort(parts, kind="stable")
@@ -170,10 +175,36 @@ def _exchange_reduce(part_idx: int, shard: int, out_dir: str, stats,
         _write_part_manifest(out_dir, part_idx, cfg_hash=cfg_hash,
                              num_parts=num_parts, rows=0, segments=0)
         return {"part": part_idx, "rows": 0, "segments": 0}
-    tbl = pa.concat_tables(live)
-    order = np.argsort(tbl["sort_key"].to_numpy(zero_copy_only=False),
-                       kind="stable")
-    tbl = tbl.take(pa.array(order))
+    from pisa_ray.utils import alloc_array
+
+    # numpy-side concat + sort + gather through MAP_POPULATE buffers
+    # (arrow concat_tables/take allocate fresh faulting memory per call —
+    # the reduce leg scaled 1.7x for exactly that reason)
+    n = sum(t.num_rows for t in live)
+
+    def _gather(col: str, dt) -> np.ndarray:
+        buf = alloc_array(n, dt)
+        pos = 0
+        for t in live:
+            for c in t[col].chunks:
+                a = c.to_numpy(zero_copy_only=False)
+                buf[pos:pos + len(a)] = a
+                pos += len(a)
+        return buf
+
+    keys = _gather("sort_key", np.uint64)
+    tfs = _gather("tf", np.uint32)
+    dls = _gather("doc_len", np.uint32)
+    order = np.argsort(keys, kind="stable")
+    key_s = alloc_array(n, np.uint64)
+    tf_s = alloc_array(n, np.uint32)
+    dl_s = alloc_array(n, np.uint32)
+    np.take(keys, order, out=key_s)
+    np.take(tfs, order, out=tf_s)
+    np.take(dls, order, out=dl_s)
+    tbl = pa.table({"sort_key": pa.array(key_s, type=pa.uint64()),
+                    "tf": pa.array(tf_s, type=pa.uint32()),
+                    "doc_len": pa.array(dl_s, type=pa.uint32())})
     encoded = encode_segments_batch(
         tbl, stats=stats, term_stats_ref=term_stats_ref_box[0],
         config=config)

@@ -59,6 +59,37 @@ def sorted_with_rank(
     return ray.data.from_arrow_refs(new_refs)
 
 
+_MAP_POPULATE = 0x8000  # linux mmap flag
+
+
+def alloc_array(n: int, dtype, populate_min_bytes: int = 1 << 22) -> np.ndarray:
+    """Allocate a length-``n`` array with pages PRE-POPULATED in one
+    mmap(MAP_POPULATE) syscall instead of ~n·itemsize/4096 individual
+    first-touch faults.
+
+    On the shared-host microVMs this engine targets, per-fault overhead
+    is catastrophic under concurrency: 8 processes each touching a fresh
+    400 MB np.empty take 31 s apiece, the same buffers via MAP_POPULATE
+    take 0.27 s (116x; measured 2026-08-17).  Every multi-MB scratch or
+    output buffer in a hot task should come from here.  Small requests
+    (< ``populate_min_bytes``) and non-Linux platforms fall back to
+    ``np.empty`` (glibc reuse — see ``pisa_ray._tune_malloc`` — makes
+    small churn cheap).  Contents are uninitialized from the caller's
+    perspective (kernel-zeroed)."""
+    dtype = np.dtype(dtype)
+    nbytes = int(n) * dtype.itemsize
+    if nbytes < populate_min_bytes:
+        return np.empty(n, dtype=dtype)
+    try:
+        import mmap
+        mm = mmap.mmap(-1, nbytes,
+                       flags=(mmap.MAP_PRIVATE | mmap.MAP_ANONYMOUS
+                              | _MAP_POPULATE))
+    except (ValueError, OSError, AttributeError):
+        return np.empty(n, dtype=dtype)
+    return np.frombuffer(mm, dtype=dtype, count=n)
+
+
 def round_half_away(arr, ndigits: int):
     """Round half away from zero — matches SQL ROUND (numpy's np.round is
     banker's rounding and disagrees on exact .5 cases like 105/128)."""
