@@ -342,9 +342,8 @@ def run_scaling() -> dict:
     t_hi = r_hi["queries"]["index_build"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
-        "metric": "indexing scaling efficiency (8 vs 32 CPUs, fresh "
-                  "processes, same input, best of "
-                  f"{repeats})",
+        "metric": f"indexing scaling efficiency ({lo} vs {hi} CPUs, fresh "
+                  f"processes, same input, best of {repeats})",
         "num_cpus_lo": lo, "num_cpus_hi": hi,
         "index_build_sec_lo": t_lo, "index_build_sec_hi": t_hi,
         "all_sec_lo": [r["queries"]["index_build"] for r in runs_lo],

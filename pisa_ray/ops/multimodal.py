@@ -78,6 +78,120 @@ class ImageDecodeStub:
         })
 
 
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BI_RGB BMP → (H, W, 3) uint8 RGB, pure
+    numpy (format spec is public; no codec lib needed)."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(data[10:14], "little")
+    width = int.from_bytes(data[18:22], "little", signed=True)
+    height = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    comp = int.from_bytes(data[30:34], "little")
+    if comp != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    bottom_up = height > 0
+    height = abs(height)
+    nch = bpp // 8
+    stride = (width * nch + 3) & ~3
+    px = np.frombuffer(data, dtype=np.uint8,
+                       count=stride * height, offset=off)
+    img = px.reshape(height, stride)[:, :width * nch] \
+        .reshape(height, width, nch)
+    if bottom_up:
+        img = img[::-1]
+    return img[:, :, 2::-1].copy()  # BGR(A) → RGB
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6) / PGM (P5) → (H, W, 3) / (H, W) uint8."""
+    if data[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PPM/PGM payload")
+    rgb = data[:2] == b"P6"
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos:pos + 1].isspace():
+            pos += 1
+        if data[pos:pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    nch = 3 if rgb else 1
+    img = np.frombuffer(data, dtype=np.uint8, count=w * h * nch, offset=pos)
+    return img.reshape((h, w, 3) if rgb else (h, w)).copy()
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy fancy-indexing."""
+    h, w = img.shape[:2]
+    rows = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    cols = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return img[rows[:, None], cols[None, :]]
+
+
+class ImageDecode:
+    """Actor-pool REAL decode stage for the formats decodable without
+    external codec libs (BMP BI_RGB, binary PPM/PGM), emitting
+    (doc_id, width, height, channels, thumb) with a nearest-neighbor
+    ``thumb_size``² grayscale thumbnail.  JPEG/PNG/etc. raise with the
+    honest unavailable-codec message (``ImageDecodeStub`` covers
+    plumbing tests for those).  Format sniffing per payload; decode
+    state (none needed here, a codec context in general) belongs in
+    ``__init__`` — once per actor."""
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "doc_id",
+                 thumb_size: int = 8, on_error: str = "raise"):
+        if on_error not in ("raise", "skip"):
+            raise ValueError(on_error)
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.thumb_size = thumb_size
+        self.on_error = on_error
+
+    def _decode(self, p: bytes) -> np.ndarray:
+        if p[:2] == b"BM":
+            return decode_bmp(p)
+        if p[:2] in (b"P5", b"P6"):
+            return decode_ppm(p)
+        raise ValueError(
+            "payload is not BMP/PPM/PGM; JPEG/PNG decode requires "
+            "PIL/libjpeg, unavailable in this container")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, widths, heights, chans, thumbs = [], [], [], [], []
+        ts = self.thumb_size
+        for doc_id, p in zip(batch[self.id_col].to_pylist(),
+                             batch[self.payload_col].to_pylist()):
+            try:
+                img = self._decode(p or b"")
+            except ValueError:
+                if self.on_error == "skip":
+                    continue
+                raise
+            gray = img if img.ndim == 2 else \
+                img.astype(np.uint16).mean(axis=2).astype(np.uint8)
+            ids.append(doc_id)
+            heights.append(img.shape[0])
+            widths.append(img.shape[1])
+            chans.append(1 if img.ndim == 2 else img.shape[2])
+            thumbs.append(resize_nearest(gray, ts, ts).tobytes())
+        return pa.table({
+            "doc_id": pa.array(ids, type=batch[self.id_col].type),
+            "width": pa.array(widths, type=pa.int32()),
+            "height": pa.array(heights, type=pa.int32()),
+            "channels": pa.array(chans, type=pa.int32()),
+            "thumb": pa.array(thumbs, type=pa.binary()),
+        })
+
+
 class EmbedStub:
     """Actor-pool feature-extraction stage: payload → embedding
     (deterministic fake; a real model would load in ``__init__`` and run
@@ -112,9 +226,23 @@ def binary_metadata(ds, *, payload_col: str = "payload",
 
 def decode_images(ds, *, payload_col: str = "payload", id_col: str = "doc_id",
                   mode: str = "fake", concurrency: int = 2,
-                  batch_size: int = 64):
+                  batch_size: int = 64, thumb_size: int = 8,
+                  on_error: str = "raise"):
     """Actor-pool decode: small batches (wide binary rows), one decoder
-    per actor.  This is the shape a real 100 TB image pipeline uses."""
+    per actor.  This is the shape a real 100 TB image pipeline uses.
+
+    ``mode="real"`` decodes BMP/PPM/PGM with the pure-numpy kernels
+    (``ImageDecode``); ``mode="fake"`` exercises the plumbing with the
+    deterministic stub (for codec-lib formats unavailable here)."""
+    if mode == "real":
+        return ds.map_batches(
+            ImageDecode,
+            fn_constructor_kwargs={"payload_col": payload_col,
+                                   "id_col": id_col,
+                                   "thumb_size": thumb_size,
+                                   "on_error": on_error},
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency, num_cpus=1)
     return ds.map_batches(
         ImageDecodeStub,
         fn_constructor_kwargs={"payload_col": payload_col, "id_col": id_col,

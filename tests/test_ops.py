@@ -265,3 +265,65 @@ def test_session_windows(ray_session):
     assert len(u1) == 2
     assert sorted(u1["n_events"]) == [1, 2]
     assert len(got[got["user_id"] == 2]) == 1
+
+
+def _make_bmp(img: "np.ndarray") -> bytes:
+    """Minimal 24-bit BI_RGB bottom-up BMP encoder (test fixture)."""
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for r in range(h - 1, -1, -1):
+        row = img[r, :, ::-1].tobytes()  # RGB -> BGR
+        rows.append(row + b"\x00" * (stride - len(row)))
+    px = b"".join(rows)
+    header = (b"BM" + (54 + len(px)).to_bytes(4, "little") + b"\x00" * 4
+              + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little", signed=True)
+              + h.to_bytes(4, "little", signed=True)
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little") + len(px).to_bytes(4, "little")
+              + b"\x00" * 16)
+    return header + px
+
+
+def test_image_decode_real_kernels():
+    from pisa_ray.ops.multimodal import decode_bmp, decode_ppm, resize_nearest
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(_make_bmp(img)), img)
+    ppm = b"P6\n# comment\n7 5\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(ppm), img)
+    gray = rng.integers(0, 256, size=(4, 6), dtype=np.uint8)
+    pgm = b"P5\n6 4 255\n" + gray.tobytes()
+    assert np.array_equal(decode_ppm(pgm), gray)
+    rz = resize_nearest(img, 10, 14)
+    assert rz.shape == (10, 14, 3)
+    assert np.array_equal(rz[::2, ::2], img)  # 2x upsample keeps originals
+
+
+def test_image_decode_real_pipeline(ray_session):
+    import ray.data
+
+    from pisa_ray.ops.multimodal import decode_images
+
+    rng = np.random.default_rng(4)
+    imgs = [rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            for h, w in ((8, 8), (12, 6), (3, 9))]
+    payloads = [_make_bmp(imgs[0]),
+                b"P6\n6 12\n255\n" + imgs[1].tobytes(),
+                b"\x89PNG fake"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "payload": pa.array(payloads, type=pa.binary())}))
+    out = decode_images(ds, mode="real", on_error="skip",
+                        concurrency=1).to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == [0, 1]  # PNG skipped
+    assert list(out["width"]) == [8, 6]
+    assert list(out["height"]) == [8, 12]
+    assert all(len(t) == 64 for t in out["thumb"])
+    # on_error="raise" surfaces the honest codec-unavailable error
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        decode_images(ds, mode="real", concurrency=1).to_pandas()
