@@ -975,6 +975,7 @@ QUERIES: Dict[str, Callable] = {
     "postings_maskedvbyte": make_q_postings_codec("maskedvbyte"),
     "postings_varintgb": make_q_postings_codec("varintgb"),
     "postings_simple16": make_q_postings_codec("simple16"),
+    "postings_qmx": make_q_postings_codec("qmx"),
     "collection_stats": q_collection_stats,
     "bm25_topk": q_bm25_topk,
     "bm25_topk_bmt": q_bm25_topk_bmt,
@@ -1014,6 +1015,7 @@ ORACLE_SQL: Dict[str, str] = {
     "postings_maskedvbyte": SQL_POSTINGS,
     "postings_varintgb": SQL_POSTINGS,
     "postings_simple16": SQL_POSTINGS,
+    "postings_qmx": SQL_POSTINGS,
     "collection_stats": SQL_COLLECTION_STATS,
     "bm25_topk": SQL_BM25_TOPK,
     "bm25_topk_bmt": SQL_BM25_TOPK,

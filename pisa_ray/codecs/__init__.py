@@ -32,6 +32,7 @@ from pisa_ray.codecs.bic import bic_encode, bic_decode
 from pisa_ray.codecs.mvb import mvb_encode, mvb_decode
 from pisa_ray.codecs.vgb import vgb_encode, vgb_decode
 from pisa_ray.codecs.s16 import s16_encode, s16_decode
+from pisa_ray.codecs.qmx import qmx_encode, qmx_decode
 
 Encoder = Callable[[np.ndarray], bytes]
 Decoder = Callable[[bytes, int], np.ndarray]
@@ -49,13 +50,13 @@ CODECS: Dict[str, Tuple[Encoder, Decoder]] = {
     "maskedvbyte": (mvb_encode, mvb_decode),
     "varintgb": (vgb_encode, vgb_decode),
     "simple16": (s16_encode, s16_decode),
+    "qmx": (qmx_encode, qmx_decode),
 }
 
 # VarintG8IU (reference codec/VarIntG8IU.h) is deliberately absent: the
 # format is patent-encumbered (US 2012/0221539, noted in the reference
-# header itself) and is a byte-group layout variant of varintgb.  QMX is
-# wrapped by the reference (codec/qmx.hpp) from an external lib not
-# vendored here; see COVERAGE.md §2.11.
+# header itself) and is a byte-group layout variant of varintgb.  See
+# COVERAGE.md §2.11.
 
 # Monotone codecs encode the ascending values directly (docids; prefix-sum
 # freqs) instead of gap-1 deltas — the reference's bitvector index family

@@ -8,7 +8,7 @@ from pisa_ray.index.postings import encode_segment, SegmentView
 
 
 BLOCK_CODECS = ["bitpack", "varbyte", "streamvbyte", "simple8b", "optpfor",
-                "maskedvbyte", "varintgb"]
+                "maskedvbyte", "varintgb", "qmx"]
 MONO_CODECS = ["ef", "pefuniform", "pefopt", "interpolative"]
 
 
@@ -71,7 +71,7 @@ def test_empty():
 @pytest.mark.parametrize("codec", ["streamvbyte", "simple8b", "optpfor",
                                    "pefuniform", "pefopt",
                                    "interpolative", "maskedvbyte",
-                                   "varintgb", "simple16"])
+                                   "varintgb", "simple16", "qmx"])
 @settings(max_examples=20, deadline=None)
 @given(docset=st.sets(st.integers(min_value=0, max_value=10**6), min_size=1,
                       max_size=500),
