@@ -312,6 +312,54 @@ SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS num_docs,
 FROM toks"""
 
 
+def q_map_queries(sf_dir: str) -> pd.DataFrame:
+    from pisa_ray.tools import map_queries
+
+    return map_queries(_engine(sf_dir),
+                       [(qid, " ".join(ts)) for qid, ts in QUERY_SET])
+
+
+_QTERM_VALUES = ", ".join(
+    f"('{qid}', '{t}')"
+    for qid, terms in QUERY_SET for t in sorted(set(terms)))
+
+SQL_MAP_QUERIES = f"""WITH {_TOKS_CTE},
+agg AS (
+    SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM toks GROUP BY term
+),
+lex AS (
+    SELECT term,
+           CAST(row_number() OVER (ORDER BY term) - 1 AS BIGINT) AS term_id
+    FROM agg
+),
+qterms(qid, term) AS (VALUES {_QTERM_VALUES})
+SELECT qterms.qid, qterms.term, lex.term_id
+FROM qterms JOIN lex USING (term)"""
+
+
+def q_collection_ordering(sf_dir: str) -> pd.DataFrame:
+    from pisa_ray.tools import evaluate_collection_ordering
+
+    return evaluate_collection_ordering(get_index_dir(sf_dir))
+
+
+SQL_COLLECTION_ORDERING = f"""WITH {_TOKS_CTE},
+pl AS (SELECT DISTINCT term, doc_id FROM toks),
+g AS (
+    SELECT doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id)
+               AS gap,
+           doc_id
+    FROM pl
+)
+SELECT CAST(count(*) AS BIGINT) AS num_postings,
+       CAST(sum(length(bin(COALESCE(gap, doc_id + 1)))) AS BIGINT)
+           AS total_bits,
+       round(sum(length(bin(COALESCE(gap, doc_id + 1))))
+             / CAST(count(*) AS DOUBLE), 6) AS bits_per_posting
+FROM g"""
+
+
 def _ranked_results(sf_dir: str,
                     algorithm: str = "ranked_or_taat") -> pd.DataFrame:
     """Engine-side ranked lists on ROUNDED scores (see module docstring)."""
@@ -977,6 +1025,8 @@ QUERIES: Dict[str, Callable] = {
     "postings_simple16": make_q_postings_codec("simple16"),
     "postings_qmx": make_q_postings_codec("qmx"),
     "collection_stats": q_collection_stats,
+    "map_queries": q_map_queries,
+    "collection_ordering": q_collection_ordering,
     "bm25_topk": q_bm25_topk,
     "bm25_topk_bmt": q_bm25_topk_bmt,
     "thresholds": q_thresholds,
@@ -1017,6 +1067,8 @@ ORACLE_SQL: Dict[str, str] = {
     "postings_simple16": SQL_POSTINGS,
     "postings_qmx": SQL_POSTINGS,
     "collection_stats": SQL_COLLECTION_STATS,
+    "map_queries": SQL_MAP_QUERIES,
+    "collection_ordering": SQL_COLLECTION_ORDERING,
     "bm25_topk": SQL_BM25_TOPK,
     "bm25_topk_bmt": SQL_BM25_TOPK,
     "thresholds": SQL_THRESHOLDS,

@@ -540,3 +540,117 @@ def _cached(ref):
         val = ray.get(ref)
         _TOOL_CACHE[ref] = val
     return val
+
+
+def map_queries(engine: QueryEngine, queries: Sequence[Tuple[str, str]]
+                ) -> pd.DataFrame:
+    """Map each query's analyzed terms to lexicon term ids (the
+    ``map_queries`` tool, ``/root/reference/tools/map_queries.cpp``):
+    the parse used by every retrieval run, surfaced as a table.
+    Unknown terms are dropped and duplicates deduped, exactly as
+    ``parse_query`` does for serving.  Returns (qid, term, term_id)
+    sorted by (qid, term_id)."""
+    rows = []
+    for qid, text in queries:
+        toks = engine.analyzer.analyze(text)
+        seen = {}
+        for tok, tid in zip(toks, engine.index.term_ids(toks)):
+            if tid is not None and tid not in seen:
+                seen[tid] = tok
+        for tid in sorted(seen):
+            rows.append({"qid": qid, "term": seen[tid],
+                         "term_id": int(tid)})
+    return pd.DataFrame(rows, columns=["qid", "term", "term_id"])
+
+
+def evaluate_collection_ordering(index_dir: str) -> pd.DataFrame:
+    """Log-gap cost of the index's docid ordering (the
+    ``evaluate_collection_ordering`` tool,
+    ``/root/reference/tools/evaluate_collection_ordering.cpp``): for every
+    posting list, Σ bit_length(gap) with gap = docid[i] − docid[i−1]
+    (first posting costs bit_length(docid+1)) — the standard objective a
+    BP / URL reordering minimizes.
+
+    Distributed shape: one ``map_batches`` pass decodes each segment and
+    emits a 5-int summary (term_id, first/last doc, interior bits, df);
+    a second vectorized pass over the summaries — sorted by
+    (term_id, first_doc) so the per-term segment chains line up — adds
+    the cross-segment boundary gaps.  Only segment summaries (not
+    postings) move, so the stitch input is ∝ #segments, not #postings.
+    Returns one row: (num_postings, total_bits, bits_per_posting)."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from pisa_ray.index.postings import SegmentView
+    from pisa_ray.utils import round_half_away
+
+    with open(os.path.join(index_dir, "config.json")) as f:
+        cfg = json.load(f)
+
+    def seg_summary(batch: pa.Table) -> pa.Table:
+        from pisa_ray.tools import _batch_rows
+
+        tid, fd, ld, bits, n = [], [], [], [], []
+        for row in _batch_rows(batch):
+            view = SegmentView(row, block_size=cfg["block_size"],
+                               codec=cfg["codec"])
+            docs = view.decode_docs().astype(np.uint64)
+            gaps = np.diff(docs)
+            # exact bit_length via frexp: docids < 2^53 so the float64
+            # mantissa is exact and the exponent IS floor(log2)+1
+            ib = int(np.frexp(gaps.astype(np.float64))[1].sum()) \
+                if len(gaps) else 0
+            tid.append(int(row["term_id"]))
+            fd.append(int(docs[0]))
+            ld.append(int(docs[-1]))
+            bits.append(ib)
+            n.append(len(docs))
+        return pa.table({
+            "term_id": pa.array(tid, type=pa.int64()),
+            "first_doc": pa.array(fd, type=pa.int64()),
+            "last_doc": pa.array(ld, type=pa.int64()),
+            "inner_bits": pa.array(bits, type=pa.int64()),
+            "n": pa.array(n, type=pa.int64()),
+        })
+
+    idx = ray.data.read_parquet(
+        os.path.join(index_dir, "index"),
+        columns=["term_id", "df", "first_doc", "doc_payload",
+                 "doc_endpoints", "block_last_docs", "block_max_scores",
+                 "freq_payload", "freq_endpoints", "max_score"])
+    summ = idx.map_batches(seg_summary, batch_format="pyarrow") \
+              .sort(["term_id", "first_doc"])
+
+    # summaries are ∝ #segments — take_all here is the tiny-side stitch
+    # (a 10^12-doc index has ~10^7-10^8 segments of 5 ints; if that ever
+    # outgrows the driver, the identical stitch runs as one more
+    # map_batches + per-block boundary rows, the partitioned-BP pattern)
+    batches = list(summ.iter_batches(batch_format="pyarrow",
+                                     batch_size=1 << 20))
+    if not batches:
+        return pd.DataFrame([{"num_postings": 0, "total_bits": 0,
+                              "bits_per_posting": 0.0}])
+    t = pa.concat_tables(batches)
+    tids = t["term_id"].to_numpy()
+    firsts = t["first_doc"].to_numpy().astype(np.int64)
+    lasts = t["last_doc"].to_numpy().astype(np.int64)
+    inner = t["inner_bits"].to_numpy()
+    ns = t["n"].to_numpy()
+    same = np.empty(len(tids), dtype=bool)
+    same[0] = False
+    np.equal(tids[1:], tids[:-1], out=same[1:])
+    # chain gap for a continued term, list-start cost otherwise
+    prev_last = np.concatenate(([0], lasts[:-1]))
+    head = np.where(same, firsts - prev_last, firsts + 1)
+    head_bits = np.frexp(head.astype(np.float64))[1]
+    total = int(inner.sum() + head_bits.sum())
+    nn = int(ns.sum())
+    return pd.DataFrame([{
+        "num_postings": nn,
+        "total_bits": total,
+        "bits_per_posting": float(round_half_away(
+            np.float64(total) / nn, 6)),
+    }])

@@ -201,3 +201,43 @@ def test_threshold_lookup_pipeline(toolbox):
     # on the multi-term queries the pair caches should actually prune
     multi = df[df["qid"].isin(["q1", "q2"])]
     assert (multi["scored_seeded"] < multi["scored_cold"]).any()
+
+
+def test_map_queries(toolbox):
+    from pisa_ray.tools import map_queries
+
+    eng, oracle, out = toolbox
+    df = map_queries(eng, [("q1", "thehot term001 term001"),
+                           ("q2", "zzznotaword term002")])
+    # duplicates deduped, unknown terms dropped
+    assert list(df[df["qid"] == "q1"]["term"]) == sorted(
+        ["thehot", "term001"],
+        key=lambda t: eng.index.term_id(t))
+    q2 = df[df["qid"] == "q2"]
+    assert list(q2["term"]) == ["term002"]
+    assert (df["term_id"] >= 0).all()
+    # ids match the lexicon
+    for _, r in df.iterrows():
+        assert eng.index.term_id(r["term"]) == r["term_id"]
+
+
+def test_evaluate_collection_ordering(toolbox, ray_session):
+    from pisa_ray.tools import evaluate_collection_ordering
+
+    eng, oracle, out = toolbox
+    res = evaluate_collection_ordering(out)
+    assert len(res) == 1
+    row = res.iloc[0]
+    # exact oracle: sum of bit lengths over per-term docid gap chains
+    total, n = 0, 0
+    for term, plist in oracle.postings.items():
+        docs = sorted(d for d, _tf in plist)
+        prev = None
+        for d in docs:
+            gap = (d + 1) if prev is None else (d - prev)
+            total += int(gap).bit_length()
+            prev = d
+            n += 1
+    assert row["num_postings"] == n
+    assert row["total_bits"] == total
+    assert abs(row["bits_per_posting"] - total / n) < 1e-6
