@@ -41,12 +41,18 @@ def tumbling_window(ds, *, ts_col: str = "ts", key_col: str = "event_type",
     partials = ds.map_batches(add_window, batch_format="pyarrow")
     agg = partials.groupby([key_col, "window_start"]).aggregate(
         Sum("n_part", alias_name="n"), Sum("sum_part", alias_name="sum_value"))
+    from pisa_ray.utils import round_half_away
+
+    # pc.round leaves ULP noise (23.330000000000002 where SQL ROUND yields
+    # the nearest double to 23.33); round_half_away is bit-identical to
+    # DuckDB/ANSI ROUND, the repo-wide convention for SQL-visible floats.
     return agg.map_batches(
         lambda t: pa.table({
             key_col: t[key_col],
             "window_start": t["window_start"],
             "n": pc.cast(t["n"], pa.int64()),
-            "sum_value": pc.round(t["sum_value"], 6, round_mode="half_towards_infinity"),
+            "sum_value": pa.array(round_half_away(
+                t["sum_value"].to_numpy(zero_copy_only=False), 6)),
         }),
         batch_format="pyarrow",
     )
