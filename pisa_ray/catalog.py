@@ -1473,6 +1473,29 @@ SELECT est.qid,
 FROM est LEFT JOIN truek t USING (qid)"""
 
 
+def q_taily_thresholds(sf_dir: str) -> pd.DataFrame:
+    """Taily per-query cut-off estimates (tools/taily_thresholds.cpp):
+    distributed feature-stats pass + Gamma-tail quantile per query.
+
+    NO SQL ORACLE: the Gamma quantile (inverse regularized incomplete
+    gamma) is not expressible in DuckDB.  Correctness is pytest-pinned
+    instead: closed-form incomplete-gamma identities, an exponential-case
+    cutoff formula, and a golden value (tests/test_tools.py)."""
+    from pisa_ray.tools import taily_feature_stats, taily_thresholds
+
+    eng = _engine(sf_dir)
+    stats = taily_feature_stats(get_index_dir(sf_dir))
+    df = taily_thresholds(
+        eng, [(qid, " ".join(ts)) for qid, ts in QUERY_SET], k=TOPK,
+        stats=stats)
+    for c in ("any_est", "all_est"):
+        df[c] = _round_match(df[c].to_numpy(), 4)
+    # thresholds on this corpus sit at ~1e-6 for high-df query terms
+    # (near-saturated idf) — 6 decimals keeps the estimate visible
+    df["threshold"] = _round_match(df["threshold"].to_numpy(), 6)
+    return df
+
+
 QUERIES.update({
     "count_postings": q_count_postings,
     "selective_queries": q_selective_queries,
@@ -1482,6 +1505,7 @@ QUERIES.update({
     "kth_threshold_budget": q_kth_threshold_budget,
     "kth_threshold_sampling": q_kth_threshold_sampling,
     "threshold_lookup": q_threshold_lookup,
+    "taily_thresholds": q_taily_thresholds,
 })
 ORACLE_SQL.update({
     "count_postings": SQL_COUNT_POSTINGS,

@@ -654,3 +654,112 @@ def evaluate_collection_ordering(index_dir: str) -> pd.DataFrame:
         "bits_per_posting": float(round_half_away(
             np.float64(total) / nn, 6)),
     }])
+
+
+# ---------------------------------------------------------------------------
+# Taily threshold estimation (tools/taily_thresholds.cpp + taily_stats.cpp)
+
+def taily_feature_stats(index_dir: str) -> pd.DataFrame:
+    """Per-term Taily feature statistics (df, E[score], Var[score]) as a
+    distributed pass over index rows — the ``extract_taily_stats``
+    capability (``/root/reference/tools/taily_stats.hpp:11-22``,
+    ``include/pisa/taily_stats.hpp:85-110``), shipped as per-batch
+    (count, Σw, Σw²) partials through one vocab-sized groupby.
+
+    Returns a term_id-indexed DataFrame with columns (df, exp, var)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = t["weight"].to_numpy(zero_copy_only=False)
+        t2 = pa.table({"term_id": t["term_id"], "w": t["weight"],
+                       "w2": pa.array(w * w, type=pa.float64())})
+        g = pa.TableGroupBy(t2, ["term_id"]).aggregate(
+            [("w", "count"), ("w", "sum"), ("w2", "sum")])
+        return pa.table({"term_id": g["term_id"],
+                         "cnt": pc.cast(g["w_count"], pa.int64()),
+                         "s1": g["w_sum"], "s2": g["w2_sum"]})
+
+    agg = (scored_postings_ds(index_dir)
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("term_id")
+           .aggregate(Sum("cnt", alias_name="df"),
+                      Sum("s1", alias_name="s1"),
+                      Sum("s2", alias_name="s2")))
+    pdf = agg.to_pandas()  # vocab-sized
+    cnt = pdf["df"].to_numpy().astype(np.float64)
+    mean = pdf["s1"].to_numpy() / cnt
+    var = np.maximum(pdf["s2"].to_numpy() / cnt - mean * mean, 0.0)
+    out = pd.DataFrame({"df": pdf["df"].to_numpy().astype(np.int64),
+                        "exp": mean, "var": var},
+                       index=pd.Index(pdf["term_id"], name="term_id"))
+    return out.sort_index()
+
+
+def taily_estimate_cutoff(exps: np.ndarray, vars_: np.ndarray,
+                          freqs: np.ndarray, num_docs: int, k: int
+                          ) -> Tuple[float, float, float]:
+    """Taily cut-off estimate for one query (Aly, Hiemstra & Demeester,
+    "Taily: shard selection using the tail of score distributions",
+    SIGIR 2013; the ``taily::estimate_cutoff`` step of
+    ``/root/reference/tools/taily_thresholds.hpp:10-16``).
+
+    Model: docs containing ANY query term number
+    ``any = N·(1 − Π(1 − df_t/N))``; docs containing ALL terms
+    ``all = any·Π(df_t/any)``; a doc's score over the all-set is the sum
+    of per-term scores, moment-fitted to a Gamma with shape E²/V and
+    scale V/E. The k-th-result threshold is the upper k/all quantile.
+
+    Returns ``(cutoff, any, all)``; cutoff is 0 when the query is
+    expected to have fewer than k all-term results (no safe pruning)."""
+    from pisa_ray.gammainc import gamma_ppf
+
+    n = float(num_docs)
+    if len(exps) == 0 or n <= 0 or np.any(freqs <= 0):
+        return 0.0, 0.0, 0.0
+    any_ = n * (1.0 - float(np.prod(1.0 - freqs / n)))
+    if any_ <= 0.0:
+        return 0.0, 0.0, 0.0
+    all_ = any_ * float(np.prod(freqs / any_))
+    e = float(np.sum(exps))
+    v = float(np.sum(vars_))
+    if all_ <= float(k) or e <= 0.0:
+        return 0.0, any_, all_
+    if v <= 0.0:
+        # degenerate fit: score mass concentrates at E (Gamma variance→0
+        # limit), so the k-th score estimate is E itself
+        return e, any_, all_
+    shape = e * e / v
+    scale = v / e
+    return gamma_ppf(shape, scale, 1.0 - float(k) / all_), any_, all_
+
+
+def taily_thresholds(engine: QueryEngine, queries, *, k: int = 10,
+                     stats: Optional[pd.DataFrame] = None) -> pd.DataFrame:
+    """Per-query Taily threshold estimates
+    (``/root/reference/tools/taily_thresholds.cpp:18-31``): look each
+    query term up in the precomputed feature statistics and estimate the
+    score cut-off of the k-th result from the moment-fitted Gamma tail.
+
+    ``stats``: term_id-indexed (df, exp, var) frame from
+    ``taily_feature_stats``; defaults to running that pass on the
+    engine's index.  Estimation itself is O(|query terms|) per query —
+    the collection pass happens once, exactly the reference's
+    stats-file-then-lookup split.
+
+    Returns (qid, any_est, all_est, threshold)."""
+    if stats is None:
+        stats = taily_feature_stats(engine.index.out_dir)
+    num_docs = engine.index.stats.num_docs
+    rows = []
+    for qid, text in queries:
+        term_ids, _ = engine.parse_query(text)
+        present = [t for t in term_ids if t in stats.index]
+        sub = stats.loc[present]
+        cutoff, any_, all_ = taily_estimate_cutoff(
+            sub["exp"].to_numpy(), sub["var"].to_numpy(),
+            sub["df"].to_numpy().astype(np.float64), num_docs, k)
+        rows.append({"qid": qid, "any_est": float(any_),
+                     "all_est": float(all_), "threshold": float(cutoff)})
+    return pd.DataFrame(rows)
