@@ -1473,6 +1473,48 @@ SELECT est.qid,
 FROM est LEFT JOIN truek t USING (qid)"""
 
 
+_SIM_RATE, _SIM_TARGET_O = 0.5, 0.1
+
+
+def q_kth_threshold_simulator(sf_dir: str) -> pd.DataFrame:
+    """Sampled-index threshold simulation (binomial-tail k' + k'-th
+    sampled-docid result; kth_threshold_sampling_simulator.cpp)."""
+    from pisa_ray.tools import kth_threshold_simulator
+
+    eng = _engine(sf_dir)
+    df = kth_threshold_simulator(
+        eng, [(qid, " ".join(ts)) for qid, ts in QUERY_SET], k=TOPK,
+        rate=_SIM_RATE, target_overestimate=_SIM_TARGET_O)
+    df["est_threshold"] = _round_match(df["est_threshold"].to_numpy(), 4)
+    df["true_threshold"] = _round_match(df["true_threshold"].to_numpy(), 4)
+    df["k_prime"] = df["k_prime"].astype(np.int64)
+    return df
+
+
+# k' for (k=10, rate=0.5, target 0.1) is 7 — keep in sync with
+# sampling_kprime (tests pin the pair)
+_SIM_KPRIME = 7
+
+SQL_KTH_THRESHOLD_SIMULATOR = f"""WITH {_TF_CTES},
+{_values_queries()},
+{_SUBSTRUCT_CTES},
+samp AS (
+    SELECT qid, score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, doc_id) AS rn
+    FROM scored_full
+    WHERE (doc_id * 2654435761) % 4294967296 < 2147483648
+),
+estk AS (SELECT qid, score AS e FROM samp WHERE rn = {_SIM_KPRIME}),
+est AS (SELECT qids.qid, COALESCE(e.e, 0.0) AS e
+        FROM qids LEFT JOIN estk e USING (qid))
+SELECT est.qid, CAST({_SIM_KPRIME} AS BIGINT) AS k_prime,
+       round(est.e, 4) AS est_threshold,
+       round(COALESCE(t.true_t, 0.0), 4) AS true_threshold,
+       (est.e <= COALESCE(t.true_t, 0.0) + 1e-9) AS safe
+FROM est LEFT JOIN truek t USING (qid)"""
+
+
 def q_taily_thresholds(sf_dir: str) -> pd.DataFrame:
     """Taily per-query cut-off estimates (tools/taily_thresholds.cpp):
     distributed feature-stats pass + Gamma-tail quantile per query.
@@ -1505,6 +1547,7 @@ QUERIES.update({
     "kth_threshold_budget": q_kth_threshold_budget,
     "kth_threshold_sampling": q_kth_threshold_sampling,
     "threshold_lookup": q_threshold_lookup,
+    "kth_threshold_simulator": q_kth_threshold_simulator,
     "taily_thresholds": q_taily_thresholds,
 })
 ORACLE_SQL.update({
@@ -1516,4 +1559,5 @@ ORACLE_SQL.update({
     "kth_threshold_budget": SQL_KTH_THRESHOLD_BUDGET,
     "kth_threshold_sampling": SQL_KTH_THRESHOLD_SAMPLING,
     "threshold_lookup": SQL_THRESHOLD_LOOKUP,
+    "kth_threshold_simulator": SQL_KTH_THRESHOLD_SIMULATOR,
 })

@@ -763,3 +763,63 @@ def taily_thresholds(engine: QueryEngine, queries, *, k: int = 10,
         rows.append({"qid": qid, "any_est": float(any_),
                      "all_est": float(all_), "threshold": float(cutoff)})
     return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# sampled-threshold simulator (tools/kth_threshold_sampling_simulator.cpp)
+
+def sampling_kprime(k: int, rate: float, target_overestimate: float) -> int:
+    """Smallest k' whose estimate overshoots the true k-th threshold with
+    probability ≤ ``target_overestimate`` under a Bernoulli(rate) docid
+    sample — the binomial-tail selection of the reference simulator
+    (``kth_threshold_sampling_simulator.cpp:103-124``,
+    ``calculateO``/``getKPrime``): the k'-th sampled result ranks above
+    the true k-th iff ≥ k' of the k−1 better documents were sampled,
+    so P(overestimate) = Σ_{i≥k'} C(k−1,i)·s^i·(1−s)^{k−1−i}.
+
+    Falls back to k (never overestimates) when no k' < k meets the
+    target; the reference returns −1 there and crashes downstream."""
+    from math import comb
+
+    for kp in range(1, k):
+        tail = sum(comb(k - 1, i) * rate ** i * (1.0 - rate) ** (k - 1 - i)
+                   for i in range(kp, k))
+        if tail <= target_overestimate:
+            return kp
+    return k
+
+
+def kth_threshold_simulator(engine: QueryEngine, queries, *, k: int = 10,
+                            rate: float = 0.5,
+                            target_overestimate: float = 0.1
+                            ) -> pd.DataFrame:
+    """Simulate sampled-index threshold estimation on the FULL index
+    (``/root/reference/tools/kth_threshold_sampling_simulator.cpp:366-434``):
+    rank the query's union results, walk them in score order, and report
+    the score of the k'-th document that falls inside the deterministic
+    docid sample — what a rate-sampled index would have estimated —
+    alongside the true k-th threshold.  Deterministic (the same
+    Knuth-multiplicative docid predicate as ``sample_inverted_index``) →
+    SQL-oracle-able.
+
+    Returns (qid, k_prime, est_threshold, true_threshold, safe)."""
+    kprime = sampling_kprime(k, rate, target_overestimate)
+    thresh = np.uint64(int(rate * 4294967296.0))
+    rows = []
+    for qid, text in queries:
+        results = engine.run(text, k=k * 50)
+        true = engine.threshold(text, k=k)
+        est = 0.0
+        valid = 0
+        for score, doc in results:
+            if ((np.uint64(doc) * np.uint64(2654435761))
+                    % np.uint64(4294967296)) < thresh:
+                valid += 1
+                if valid == kprime:
+                    est = float(score)
+                    break
+        rows.append({"qid": qid, "k_prime": int(kprime),
+                     "est_threshold": float(est),
+                     "true_threshold": float(true),
+                     "safe": bool(est <= true + 1e-9)})
+    return pd.DataFrame(rows)

@@ -241,3 +241,40 @@ def test_evaluate_collection_ordering(toolbox, ray_session):
     assert row["num_postings"] == n
     assert row["total_bits"] == total
     assert abs(row["bits_per_posting"] - total / n) < 1e-6
+
+
+def test_sampling_kprime_binomial_tail():
+    from math import comb
+
+    from pisa_ray.tools import sampling_kprime
+
+    # k=10, s=0.5: tail over C(9,i)/512; first k' with tail <= 0.1 is 7
+    assert sampling_kprime(10, 0.5, 0.1) == 7
+    tail7 = sum(comb(9, i) for i in range(7, 10)) / 512
+    tail6 = sum(comb(9, i) for i in range(6, 10)) / 512
+    assert tail7 <= 0.1 < tail6
+    # unreachable target -> conservative fallback k (never overestimates)
+    assert sampling_kprime(10, 0.9, 0.01) == 10
+
+
+def test_kth_threshold_simulator(toolbox):
+    from pisa_ray.tools import kth_threshold_simulator
+
+    eng, oracle, _ = toolbox
+    qs = [("Q1", "thehot"), ("Q2", "thehot term007"), ("Q3", "zzznope")]
+    df = kth_threshold_simulator(eng, qs, k=5, rate=0.5,
+                                 target_overestimate=0.2)
+    assert list(df.columns) == ["qid", "k_prime", "est_threshold",
+                                "true_threshold", "safe"]
+    assert (df["k_prime"] == df["k_prime"].iloc[0]).all()
+    # empty query -> zero estimate, trivially safe
+    assert df.loc[2, "est_threshold"] == 0.0 and bool(df.loc[2, "safe"])
+    # estimate is the k'-th sampled score: recompute from the full run
+    import numpy as np
+    res = eng.run("thehot", k=250)
+    sampled = [s for s, d in res
+               if (np.uint64(d) * np.uint64(2654435761))
+               % np.uint64(4294967296) < np.uint64(2147483648)]
+    kp = int(df.loc[0, "k_prime"])
+    want = sampled[kp - 1] if len(sampled) >= kp else 0.0
+    assert df.loc[0, "est_threshold"] == want
