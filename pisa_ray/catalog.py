@@ -950,6 +950,21 @@ def q_lsh_ann(sf_dir: str):
     return lsh_ann_topk(ds, qm, qids, k=TOPK)
 
 
+def q_ivf_ann(sf_dir: str):
+    """IVF coarse-quantizer ANN with partial probes (nprobe 4 of 16
+    cells) — genuinely approximate, so NO SQL ORACLE (rows-only driver
+    check); pytest pins nprobe=n_centroids ≡ exact ann_topk and a
+    recall floor vs brute force (tests/test_ops.py)."""
+    import ray.data
+
+    from pisa_ray.ops.similarity import ivf_ann_topk
+
+    qm, qids = _query_vectors(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    return ivf_ann_topk(ds, qm, qids, k=TOPK, n_centroids=16, nprobe=4)
+
+
 # ---------------------------------------------------------------------------
 # events entry
 
@@ -1048,6 +1063,7 @@ QUERIES: Dict[str, Callable] = {
     "ann_topk": q_ann_topk,
     "embed_dup_pairs": q_embed_dup_pairs,
     "lsh_ann_topk": q_lsh_ann,
+    "ivf_ann_topk": q_ivf_ann,
     "events_hourly_window": q_events_hourly,
     "events_sessions": q_events_sessions,
 }

@@ -379,3 +379,122 @@ def _cosine_pairs_blocked(ds, threshold: float, plan: tuple, seed: int,
         })
 
     return wp.map_batches(verify, batch_format="pyarrow")
+
+
+def ivf_train(ds, *, n_centroids: int = 16, iters: int = 8, seed: int = 13,
+              train_sample: int = 4096, vec_col: str = "embedding",
+              id_col: str = "vec_id") -> np.ndarray:
+    """Train IVF centroids on a deterministic sample of the vectors.
+
+    Scale shape: the sample is a hash-of-id filter (`` (id·Knuth) mod
+    2³² < 2³²·rate ``) collected through the Dataset — the standard
+    IVF practice of training on a small sample (FAISS-style) rather than
+    clustering 10⁹ vectors; the only driver materialization is
+    ``train_sample`` rows.  Lloyd iterations run on the sample in one
+    vectorized matmul per round; init takes the first ``n_centroids``
+    sampled vectors in id order — fully deterministic across runs and
+    partitionings (no RNG in the data path; ``seed`` only salts the
+    sampling hash so disjoint trainings can draw different samples).
+
+    Returns a row-normalized (n_centroids, dim) float64 matrix
+    (cosine/IP IVF: assignment by max dot product of unit vectors)."""
+    n_total = ds.count()
+    rate = min(1.0, float(train_sample) / max(1, n_total))
+    thresh = np.uint64(int(rate * 4294967296.0))
+    mult = np.uint64(2654435761 + 2 * seed)
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = (ids * mult) % np.uint64(4294967296) < thresh
+        return t.filter(pa.array(keep))
+
+    samp = (ds.map_batches(sample, batch_format="pyarrow")
+            .sort(id_col).take_all())
+    if not samp:
+        raise ValueError("empty training sample")
+    vecs = _normalize(np.asarray([r[vec_col] for r in samp],
+                                 dtype=np.float64))
+    c = min(n_centroids, len(vecs))
+    centroids = vecs[:c].copy()
+    for _ in range(iters):
+        assign = np.argmax(vecs @ centroids.T, axis=1)
+        for ci in range(c):
+            members = vecs[assign == ci]
+            if len(members):
+                centroids[ci] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+def ivf_ann_topk(ds, query_matrix: np.ndarray, query_ids, *, k: int = 10,
+                 n_centroids: int = 16, nprobe: int = 4, iters: int = 8,
+                 seed: int = 13, train_sample: int = 4096,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 round_decimals: Optional[int] = 6,
+                 centroids: Optional[np.ndarray] = None):
+    """Approximate cosine top-k through an IVF (inverted-file) index —
+    the coarse-quantizer scale path next to ``lsh_ann_topk``: assign each
+    vector to its nearest trained centroid, scan only the ``nprobe``
+    closest cells per query.  With ``nprobe == n_centroids`` the result
+    is EXACTLY ``ann_topk`` (every cell probed) — the correctness gate
+    pytest pins; partial probes trade recall for a 1/nprobe-ish scan.
+
+    Centroids broadcast once via ``ray.put``; each batch does one
+    assignment matmul + per-present-cell query matmuls and emits partial
+    top-k rows; the same small per-qid merge as ``ann_topk``.
+
+    → Dataset(qid, rank, vec_id, sim)."""
+    import ray
+    import pandas as pd
+
+    if centroids is None:
+        centroids = ivf_train(ds, n_centroids=n_centroids, iters=iters,
+                              seed=seed, train_sample=train_sample,
+                              vec_col=vec_col, id_col=id_col)
+    qn = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    nprobe = min(nprobe, len(centroids))
+    # per-query probed cells → per-cell list of probing queries
+    order = np.argsort(-(qn @ centroids.T), axis=1, kind="stable")
+    cell_queries: Dict[int, list] = {}
+    for qi in range(len(qn)):
+        for c in order[qi, :nprobe]:
+            cell_queries.setdefault(int(c), []).append(qi)
+    ref = ray.put((qn, list(query_ids), centroids, cell_queries))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qmat, qids, cents, cellq = _cached_get(ref)
+        emb = np.asarray(batch[vec_col].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False), dtype=np.float64) \
+            .reshape(batch.num_rows, -1)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        en = _normalize(emb)
+        assign = np.argmax(en @ cents.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for cell in np.unique(assign):
+            probing = cellq.get(int(cell))
+            if not probing:
+                continue
+            rows = np.flatnonzero(assign == cell)
+            sims = qmat[probing] @ en[rows].T  # (Pq, Rc)
+            kk = min(k, sims.shape[1])
+            for pi, qi in enumerate(probing):
+                part = np.argpartition(-sims[pi], kk - 1)[:kk]
+                out_q.extend([qids[qi]] * len(part))
+                out_v.extend(ids[rows[part]])
+                out_s.extend(sims[pi][part])
+        return pa.table({
+            "qid": pa.array(out_q, type=pa.int64()),
+            "vec_id": pa.array(out_v, type=pa.int64()),
+            "sim": pa.array(out_s, type=pa.float64()),
+        })
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.copy()
+        if round_decimals is not None:
+            g["sim"] = round_half_away(g["sim"].to_numpy(), round_decimals)
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g["rank"] = np.arange(1, len(g) + 1)
+        return g[["qid", "rank", "vec_id", "sim"]]
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("qid").map_groups(merge, batch_format="pandas"))

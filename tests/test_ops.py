@@ -327,3 +327,62 @@ def test_image_decode_real_pipeline(ray_session):
     import pytest as _pytest
     with _pytest.raises(Exception):
         decode_images(ds, mode="real", concurrency=1).to_pandas()
+
+
+def test_ivf_full_probe_equals_bruteforce(emb_ds, ray_session):
+    """nprobe == n_centroids probes every cell -> bit-identical to the
+    exact ann_topk output (same dot products, same merge)."""
+    from pisa_ray.ops.similarity import ann_topk, ivf_ann_topk
+
+    ds, base = emb_ds
+    qm = base[:3].astype(np.float64)
+    exact = (ann_topk(ds, qm, [0, 1, 2], k=5).to_pandas()
+             .sort_values(["qid", "rank"]).reset_index(drop=True))
+    full = (ivf_ann_topk(ds, qm, [0, 1, 2], k=5, n_centroids=4, nprobe=4,
+                         train_sample=20).to_pandas()
+            .sort_values(["qid", "rank"]).reset_index(drop=True))
+    assert exact.equals(full)
+
+
+def test_ivf_partial_probe_recall_and_determinism(ray_session):
+    import ray.data
+
+    from pisa_ray.ops.similarity import ann_topk, ivf_ann_topk
+
+    rng = np.random.default_rng(5)
+    # clustered data so cells are meaningful: 8 blobs of 40 vectors
+    centers = rng.standard_normal((8, 24)) * 4
+    pts = np.concatenate([c + rng.standard_normal((40, 24))
+                          for c in centers])
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(pts)), type=pa.int64()),
+        "embedding": pa.array([r.tolist() for r in pts],
+                              type=pa.list_(pa.float64())),
+    }))
+    qm = pts[::40][:4]
+    qids = [0, 1, 2, 3]
+    exact = ann_topk(ds, qm, qids, k=10).to_pandas()
+    approx = ivf_ann_topk(ds, qm, qids, k=10, n_centroids=8, nprobe=3,
+                          train_sample=320).to_pandas()
+    hits = 0
+    for qi in qids:
+        want = set(exact[exact["qid"] == qi]["vec_id"])
+        got = set(approx[approx["qid"] == qi]["vec_id"])
+        hits += len(want & got)
+    assert hits / (10 * len(qids)) >= 0.8  # recall@10 on blob data
+    # deterministic end to end (sampling, init, assignment, merge)
+    again = ivf_ann_topk(ds, qm, qids, k=10, n_centroids=8, nprobe=3,
+                         train_sample=320).to_pandas()
+    a = approx.sort_values(["qid", "rank"]).reset_index(drop=True)
+    b = again.sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_ivf_train_deterministic_and_normalized(emb_ds, ray_session):
+    from pisa_ray.ops.similarity import ivf_train
+
+    ds, _ = emb_ds
+    c1 = ivf_train(ds, n_centroids=4, train_sample=20)
+    c2 = ivf_train(ds, n_centroids=4, train_sample=20)
+    assert np.array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
