@@ -500,6 +500,26 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16, n: int = 3,
                 ii, jj = np.triu_indices(len(dd), k=1)
                 est = (smat[ii] == smat[jj]).mean(axis=1)
                 keep = est >= verify_threshold
+                bnd = int(b[s])
+                if bnd > 0 and keep.any():
+                    # first-collision dedup: emit a pair only in the
+                    # FIRST band whose buckets collide — earlier-band
+                    # buckets recompute from the carried signatures
+                    # (pairs only, cheap), so the global pair set needs
+                    # no distinct-aggregate shuffle afterwards
+                    ki, kj = ii[keep], jj[keep]
+                    docs_in_pairs = np.unique(np.concatenate([ki, kj]))
+                    sub = smat[docs_in_pairs].reshape(
+                        len(docs_in_pairs), bands, rows_per_band)
+                    mixes = np.stack(
+                        [_mix_rows_u64(sub[:, e, :]) >> np.uint64(1)
+                         for e in range(bnd)], axis=1)
+                    pos = np.searchsorted(docs_in_pairs, ki)
+                    qos = np.searchsorted(docs_in_pairs, kj)
+                    first = ~(mixes[pos] == mixes[qos]).any(axis=1)
+                    sel = np.flatnonzero(keep)[first]
+                    keep = np.zeros(len(est), dtype=bool)
+                    keep[sel] = True
                 oa.append(dd[ii][keep])
                 ob.append(dd[jj][keep])
                 oe.append(est[keep])
@@ -513,19 +533,11 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16, n: int = 3,
                 "doc_b": np.concatenate(ob),
                 "est_jaccard": round_half_away(np.concatenate(oe), 6)})
 
-        verified = banded.groupby("grp").map_groups(
+        # first-collision emission above makes pairs globally unique —
+        # two distributed ops total (banding map → bucket groupby), no
+        # distinct-aggregate shuffle of the candidate pairs
+        return banded.groupby("grp").map_groups(
             emit_verified, batch_format="pandas")
-        from ray.data.aggregate import Min
-
-        dedup = verified.groupby(["doc_a", "doc_b"]).aggregate(
-            Min("est_jaccard", alias_name="est_min"))
-        return dedup.map_batches(
-            lambda t: pa.table({
-                "doc_a": pc.cast(t["doc_a"], pa.int64()),
-                "doc_b": pc.cast(t["doc_b"], pa.int64()),
-                "est_jaccard": pc.cast(t["est_min"], pa.float64()),
-            }),
-            batch_format="pyarrow")
 
     banded = sigs.map_batches(_band_rows_fn(bands, rows_per_band),
                               batch_format="pyarrow")
