@@ -386,3 +386,39 @@ def test_ivf_train_deterministic_and_normalized(emb_ds, ray_session):
     c2 = ivf_train(ds, n_centroids=4, train_sample=20)
     assert np.array_equal(c1, c2)
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_minhash_carry_equals_join_many_dups(ray_session):
+    """Carry mode (first-collision emission, 2 distributed ops) and join
+    mode (candidate join-back) produce the SAME pair set on a corpus with
+    many planted duplicates — exact dups collide in every band, so the
+    earlier-band suppression path is heavily exercised; each pair must
+    still appear exactly once."""
+    import ray.data
+
+    from pisa_ray.ops.dedup import minhash_lsh_pairs
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa"]
+    rng = np.random.default_rng(23)
+    texts = []
+    for i in range(40):
+        base = " ".join(rng.choice(words, size=30))
+        texts.append(base)
+        texts.append(base)                       # exact dup: all bands
+        texts.append(base.replace("alpha", "omega"))  # near dup: many bands
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    }))
+    carry = minhash_lsh_pairs(ds, verify_threshold=0.4,
+                              verify_mode="carry").to_pandas()
+    # exactly once per pair
+    assert not carry.duplicated(["doc_a", "doc_b"]).any()
+    join = minhash_lsh_pairs(ds, verify_threshold=0.4,
+                             verify_mode="join").to_pandas()
+    c = carry.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    j = join.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert len(c) >= 40  # the planted dups were found
+    assert c[["doc_a", "doc_b"]].equals(j[["doc_a", "doc_b"]])
+    assert np.allclose(c["est_jaccard"], j["est_jaccard"])
