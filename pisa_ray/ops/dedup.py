@@ -428,9 +428,12 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16, n: int = 3,
 
     ``verify_mode="carry"`` (default): the packed signature rides through
     the banding shuffle, so candidate emission AND verification happen
-    inside the bucket groups — three distributed ops total (signatures →
-    groupby(bucket-group) → distinct-aggregate).  The extra shuffle volume
-    is bands × sig bytes per doc (linear in docs, distributed).
+    inside the bucket groups, and each pair is emitted only in its FIRST
+    colliding band (earlier bands' buckets recompute from the carried
+    signatures for the few verified pairs) — TWO distributed ops total
+    (signatures → groupby(bucket-group)), no distinct-aggregate shuffle.
+    The extra shuffle volume is bands × sig bytes per doc (linear in
+    docs, distributed).
 
     ``verify_mode="join"``: banding ships only (band, bucket, doc_id);
     candidate pairs JOIN back to the signature dataset for verification —
