@@ -162,6 +162,20 @@ def cmd_thresholds(args) -> int:
     return 0
 
 
+def cmd_check(args) -> int:
+    """Index self-check (the reference's ``compress --check``): decode
+    the whole compressed index distributed and compare per-term content
+    hashes against the lexicon and the fwd/ checkpoint."""
+    import json
+
+    from pisa_ray.index.check import check_index
+
+    _init_ray(args.num_cpus)
+    summary = check_index(args.index, against_fwd=not args.no_fwd)
+    print(json.dumps(summary, indent=2, default=str))
+    return 0 if summary["ok"] else 1
+
+
 def cmd_extract_topics(args) -> int:
     """No Ray involved — a topics file is a driver-sized artifact."""
     from pisa_ray.io.parsers import extract_topics
@@ -204,6 +218,12 @@ def main(argv=None) -> int:
                    help="variable-sized wand blocks (SIGIR'17), per-block cost")
     b.add_argument("--no-resume", action="store_true")
     b.set_defaults(fn=cmd_build)
+
+    ck = sub.add_parser("check", help="decode-and-verify index self-check")
+    ck.add_argument("--index", required=True)
+    ck.add_argument("--no-fwd", action="store_true",
+                    help="skip the fwd-checkpoint content compare")
+    ck.set_defaults(fn=cmd_check)
 
     et = sub.add_parser("extract-topics",
                         help="convert TREC topics / AOL logs to query files")
