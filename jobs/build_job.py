@@ -6,7 +6,7 @@ cluster at two cluster sizes::
     ray job submit --working-dir . \
         --runtime-env-json '{"py_modules": ["pisa_ray"]}' -- \
         python jobs/build_job.py \
-            --input 's3://bucket/pages/*.parquet' \
+            --input s3://bucket/pages/ \
             --output /shared/index \
             --url-col url --html-col html \
             --exchange partition --codec bitpack
@@ -30,7 +30,7 @@ import time
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="build_job")
     ap.add_argument("--input", required=True,
-                    help="parquet path/glob of pages")
+                    help="parquet file or directory of pages")
     ap.add_argument("--output", required=True)
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--id-col", default=None)
@@ -44,6 +44,9 @@ def main(argv=None) -> int:
                     choices=["partition", "sort"])
     ap.add_argument("--quantize-bits", type=int, default=0)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--check", action="store_true",
+                    help="decode-and-verify the finished index against "
+                         "the fwd checkpoint (compress --check semantics)")
     args = ap.parse_args(argv)
 
     import ray
@@ -69,16 +72,24 @@ def main(argv=None) -> int:
         id_col=args.id_col or None, url_col=args.url_col or None,
         html_col=args.html_col, resume=not args.no_resume)
     wall = time.time() - t0
+    cstats = stats["stats"]  # CollectionStats dataclass
     print(json.dumps({
-        "num_docs": stats["num_docs"],
-        "collection_len": stats["collection_len"],
+        "num_docs": cstats.num_docs,
+        "collection_len": cstats.collection_len,
         "wall_sec": round(wall, 3),
-        "docs_per_sec": round(stats["num_docs"] / max(wall, 1e-9), 1),
+        "docs_per_sec": round(cstats.num_docs / max(wall, 1e-9), 1),
         "output": args.output,
         "config_hash": cfg.config_hash(),
         "cluster_cpus": int(ray.cluster_resources().get("CPU", 0)),
         "cluster_nodes": len([n for n in ray.nodes() if n.get("Alive")]),
     }))
+    if args.check:
+        from pisa_ray.index.check import check_index
+
+        summary = check_index(args.output)
+        print(json.dumps({"check_ok": summary["ok"],
+                          "check_errors": summary["errors"]}))
+        return 0 if summary["ok"] else 1
     return 0
 
 
