@@ -1514,12 +1514,19 @@ _SIM_KPRIME = 7
 SQL_KTH_THRESHOLD_SIMULATOR = f"""WITH {_TF_CTES},
 {_values_queries()},
 {_SUBSTRUCT_CTES},
+fullrank AS (
+    SELECT qid, doc_id, score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, doc_id) AS rnf
+    FROM scored_full
+),
 samp AS (
     SELECT qid, score,
            row_number() OVER (PARTITION BY qid
                               ORDER BY score DESC, doc_id) AS rn
-    FROM scored_full
-    WHERE (doc_id * 2654435761) % 4294967296 < 2147483648
+    FROM fullrank
+    WHERE rnf <= {TOPK * 50}
+      AND (doc_id * 2654435761) % 4294967296 < 2147483648
 ),
 estk AS (SELECT qid, score AS e FROM samp WHERE rn = {_SIM_KPRIME}),
 est AS (SELECT qids.qid, COALESCE(e.e, 0.0) AS e

@@ -95,6 +95,10 @@ def check_index(index_dir: str, *, against_fwd: bool = True,
         cfg = json.load(f)
     block_size = int(cfg.get("block_size", 128))
     codec = cfg.get("codec", "bitpack")
+    # quantized indexes store ceil-quantized impact scores as the freq
+    # stream (build.encode_segments_batch), so tf-derived checks (occ vs
+    # lexicon, tf content hash vs fwd) compare docid structure only
+    tf_checked = not int(cfg.get("quantize_bits", 0) or 0)
 
     # -- pass 1: decode + structural asserts, per-term partials ----------
     def seg_check(batch: pa.Table) -> pa.Table:
@@ -106,10 +110,15 @@ def check_index(index_dir: str, *, against_fwd: bool = True,
         cols = batch.to_pylist()
         for row in cols:
             tid = int(row["term_id"])
-            view = SegmentView(row, block_size=block_size, codec=codec)
-            docs = view.decode_docs()
-            tfs = view.decode_freqs()
             tag = f"term {tid} seg@{row['first_doc']}"
+            try:
+                view = SegmentView(row, block_size=block_size, codec=codec)
+                docs = view.decode_docs()
+                tfs = view.decode_freqs()
+            except Exception as ex:  # corrupted payload/endpoints
+                errs.append(f"{tag}: decode raised {type(ex).__name__}: "
+                            f"{ex}")
+                continue
             if len(docs) != int(row["df"]) or len(tfs) != len(docs):
                 errs.append(f"{tag}: decoded {len(docs)} docs/{len(tfs)} "
                             f"tfs, df={row['df']}")
@@ -124,20 +133,27 @@ def check_index(index_dir: str, *, against_fwd: bool = True,
                     errs.append(f"{tag}: docid {int(docs[-1])} >= "
                                 f"num_docs {num_docs}")
                 bl = np.asarray(row["block_last_docs"], dtype=np.uint64)
-                want_bl = docs[np.minimum(
-                    np.arange(1, len(bl) + 1) * block_size, len(docs)) - 1]
-                if len(bl) != len(want_bl) or np.any(bl != want_bl):
-                    errs.append(f"{tag}: block_last_docs mismatch")
+                want_nblocks = -(-len(docs) // block_size)
+                if len(bl) != want_nblocks:
+                    errs.append(f"{tag}: {len(bl)} blocks, expected "
+                                f"{want_nblocks}")
+                else:
+                    want_bl = docs[np.minimum(
+                        np.arange(1, len(bl) + 1) * block_size,
+                        len(docs)) - 1]
+                    if np.any(bl != want_bl):
+                        errs.append(f"{tag}: block_last_docs mismatch")
             if np.any(tfs < 1):
                 errs.append(f"{tag}: tf < 1")
-            if int(tfs.sum()) != int(row["occ"]):
+            if tf_checked and int(tfs.sum()) != int(row["occ"]):
                 errs.append(f"{tag}: Σtf {int(tfs.sum())} != occ "
                             f"{row['occ']}")
             tids.append(tid)
             ns.append(len(docs))
             occs.append(int(tfs.sum()))
-            hs.append(int(_posting_hashes(docs, tfs).sum(
-                dtype=np.uint64)))
+            h = _posting_hashes(docs, tfs) if tf_checked \
+                else _posting_hashes(docs, np.zeros(len(docs)))
+            hs.append(int(h.sum(dtype=np.uint64)))
         if not tids and errs:
             tids, ns, occs, hs = [-1], [0], [0], [0]
         out = _partial_table(tids, ns, occs, hs)
@@ -177,7 +193,8 @@ def check_index(index_dir: str, *, against_fwd: bool = True,
     m = lex.merge(agg, on="term_id", how="inner",
                   suffixes=("_lex", "_idx"))
     bad_df = m[m["df"] != m["n"]]
-    bad_occ = m[m["occ_lex"] != m["occ_idx"]]
+    bad_occ = m[m["occ_lex"] != m["occ_idx"]] if tf_checked \
+        else m.iloc[0:0]
     for _, r in bad_df.head(max_errors).iterrows():
         errors.append(f"term {int(r.term_id)} ({r.term}): index df "
                       f"{int(r.n)} != lexicon df {int(r.df)}")
@@ -200,7 +217,9 @@ def check_index(index_dir: str, *, against_fwd: bool = True,
         vocab_ref = ray.put(pa.array(lex["term"], type=pa.string()))
 
         def fwd_partial(batch: pa.Table) -> pa.Table:
-            vocab = _fwd_cache_get(vocab_ref)
+            from pisa_ray.ops.similarity import _cached_get
+
+            vocab = _cached_get(vocab_ref)
             pos = pc.index_in(pc.cast(batch["term"], pa.string()),
                               value_set=vocab).fill_null(-1).to_numpy(
                 zero_copy_only=False).astype(np.int64)
@@ -210,7 +229,20 @@ def check_index(index_dir: str, *, against_fwd: bool = True,
             tfs = batch["tf"].to_numpy(
                 zero_copy_only=False).astype(np.uint64)[known]
             tid = pos[known]
+            if not tf_checked:
+                tfs = np.zeros(len(tfs), dtype=np.uint64)
             h = _posting_hashes(docs, tfs)
+            n_unknown = int((~known).sum())
+            if n_unknown:
+                # surface as a sentinel partial so a term dropped from
+                # BOTH lexicon and index still fails the check
+                tid = np.concatenate([tid, [-1]])
+                h = np.concatenate([h, [np.uint64(0)]])
+                ones = np.concatenate(
+                    [np.ones(len(tfs), dtype=np.int64), [n_unknown]])
+                occ = np.concatenate(
+                    [tfs.astype(np.int64), [0]])
+                return _partial_table(tid, ones, occ, h)
             return _partial_table(tid, np.ones(len(tid), dtype=np.int64),
                                   tfs.astype(np.int64), h)
 
@@ -226,13 +258,19 @@ def check_index(index_dir: str, *, against_fwd: bool = True,
         fagg["h"] = [(int(lo) + (int(hi) << 32)) % (1 << 64)
                      for lo, hi in zip(fagg.pop("h_lo"),
                                        fagg.pop("h_hi"))]
+        unk = fagg[fagg["term_id"] < 0]
+        if len(unk):
+            errors.append(f"{int(unk['n'].sum())} fwd postings reference "
+                          "terms missing from the lexicon")
+        fagg = fagg[fagg["term_id"] >= 0].reset_index(drop=True)
         a = agg.set_index("term_id")
         b = fagg.set_index("term_id")
         union = a.index.union(b.index)
         a = a.reindex(union, fill_value=0)
         b = b.reindex(union, fill_value=0)
-        bad_mask = (a["n"] != b["n"]) | (a["occ"] != b["occ"]) \
-            | (a["h"] != b["h"])
+        bad_mask = (a["n"] != b["n"]) | (a["h"] != b["h"])
+        if tf_checked:
+            bad_mask |= a["occ"] != b["occ"]
         for term_id in union[bad_mask][:max_errors]:
             ra, rb = a.loc[term_id], b.loc[term_id]
             errors.append(
@@ -248,14 +286,4 @@ def check_index(index_dir: str, *, against_fwd: bool = True,
     return summary
 
 
-_FWD_CACHE: Dict = {}
 
-
-def _fwd_cache_get(ref):
-    import ray
-
-    val = _FWD_CACHE.get(ref)
-    if val is None:
-        val = ray.get(ref)
-        _FWD_CACHE[ref] = val
-    return val

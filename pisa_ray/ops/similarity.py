@@ -416,6 +416,7 @@ def ivf_train(ds, *, n_centroids: int = 16, iters: int = 8, seed: int = 13,
                                  dtype=np.float64))
     c = min(n_centroids, len(vecs))
     centroids = vecs[:c].copy()
+    assign = np.zeros(len(vecs), dtype=np.int64)
     for _ in range(iters):
         assign = np.argmax(vecs @ centroids.T, axis=1)
         for ci in range(c):
@@ -423,7 +424,11 @@ def ivf_train(ds, *, n_centroids: int = 16, iters: int = 8, seed: int = 13,
             if len(members):
                 centroids[ci] = members.mean(axis=0)
         centroids = _normalize(centroids)
-    return centroids
+    # drop cells that ended empty on the training sample — a dead cell
+    # probed by a query contributes nothing and can leave the query with
+    # fewer than k results
+    live = np.isin(np.arange(c), np.unique(assign))
+    return centroids[live] if live.any() else centroids
 
 
 def ivf_ann_topk(ds, query_matrix: np.ndarray, query_ids, *, k: int = 10,
@@ -442,6 +447,11 @@ def ivf_ann_topk(ds, query_matrix: np.ndarray, query_ids, *, k: int = 10,
     Centroids broadcast once via ``ray.put``; each batch does one
     assignment matmul + per-present-cell query matmuls and emits partial
     top-k rows; the same small per-qid merge as ``ann_topk``.
+
+    Standard IVF caveat: a query may return fewer than k rows (and a qid
+    may be absent entirely) when its probed cells hold fewer than k
+    vectors — FAISS pads with -1 ids in the same situation.  Training
+    drops cells that end empty on the sample to make this rare.
 
     → Dataset(qid, rank, vec_id, sim)."""
     import ray

@@ -795,10 +795,13 @@ def kth_threshold_simulator(engine: QueryEngine, queries, *, k: int = 10,
                             ) -> pd.DataFrame:
     """Simulate sampled-index threshold estimation on the FULL index
     (``/root/reference/tools/kth_threshold_sampling_simulator.cpp:366-434``):
-    rank the query's union results, walk them in score order, and report
-    the score of the k'-th document that falls inside the deterministic
-    docid sample — what a rate-sampled index would have estimated —
-    alongside the true k-th threshold.  Deterministic (the same
+    rank the query's union results (capped at the reference's k·50
+    candidate queue, ``topk_old(k * 50)`` at :317), walk them in score
+    order, and report the score of the k'-th document that falls inside
+    the deterministic docid sample — what a rate-sampled index would have
+    estimated — alongside the true k-th threshold; 0.0 when fewer than k'
+    sampled docs rank inside the queue (the reference prints −1).  The
+    SQL oracle applies the same k·50 cap.  Deterministic (the same
     Knuth-multiplicative docid predicate as ``sample_inverted_index``) →
     SQL-oracle-able.
 

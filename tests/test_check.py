@@ -72,3 +72,24 @@ def test_check_detects_fwd_content_mismatch(built_index, tmp_path):
     s = check_index(bad)
     assert not s["ok"]
     assert any("vs fwd" in e for e in s["errors"])
+
+
+def test_check_quantized_index_ok(ray_session, tmp_path_factory):
+    """Quantized builds store impact scores as freqs; the check must
+    compare docid structure only (tf-derived checks skipped) and pass."""
+    import ray.data
+
+    from pisa_ray.index.build import IndexConfig, build_index
+    from pisa_ray.index.check import check_index
+
+    texts = make_corpus(30)
+    out = str(tmp_path_factory.mktemp("check_q"))
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    }))
+    build_index(corpus, out, config=IndexConfig(
+        num_shards=2, block_size=16, quantize_bits=8))
+    s = check_index(out)
+    assert s["ok"], s["errors"]
+    assert s["checked_against_fwd"]
