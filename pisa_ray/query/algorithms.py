@@ -720,16 +720,29 @@ def block_max_taat_arrays(lists, n: int, k: int,
             touched_idx.append(idx)
         if not touched_idx:
             continue
-        tix = np.concatenate(touched_idx) if len(touched_idx) > 1 \
-            else touched_idx[0]
-        cand = tix if len(touched_idx) == 1 else np.unique(tix)
-        sc = local[cand]
-        m = sc > np.float32(thr_strict)
-        if m.any():
-            pool_d.append(cand[m] + base)
-            pool_s.append(sc[m].copy())
-            pool_n += int(m.sum())
-        local[tix] = 0.0
+        if thr_strict >= 0.0:
+            # dense candidate scan: untouched cells are exactly 0 ≤ thr,
+            # so one vectorized compare over the range replaces the
+            # sort-based np.unique over touched docids (the old hot spot —
+            # 55% of query time on hot terms)
+            cand = np.flatnonzero(local[:min(rsize, n - base)]
+                                  > np.float32(thr_strict))
+            if len(cand):
+                pool_d.append(cand + base)
+                pool_s.append(local[cand].copy())
+                pool_n += len(cand)
+        else:
+            tix = np.concatenate(touched_idx) if len(touched_idx) > 1 \
+                else touched_idx[0]
+            cand = tix if len(touched_idx) == 1 else np.unique(tix)
+            sc = local[cand]
+            m = sc > np.float32(thr_strict)
+            if m.any():
+                pool_d.append(cand[m] + base)
+                pool_s.append(sc[m].copy())
+                pool_n += int(m.sum())
+        for idx in touched_idx:
+            local[idx] = 0.0
         if pool_n >= k:
             pd = np.concatenate(pool_d) if len(pool_d) > 1 else pool_d[0]
             ps = np.concatenate(pool_s) if len(pool_s) > 1 else pool_s[0]
