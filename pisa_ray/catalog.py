@@ -865,6 +865,61 @@ SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
 FROM documents"""
 
 
+def q_audio_features(sf_dir: str):
+    """REAL audio leg of the multimodal plumbing: synthesize a
+    deterministic integer-sawtooth WAV per doc, decode the RIFF/PCM bytes
+    with the stdlib ``wave`` actor stage, emit vectorized features.  The
+    SQL oracle regenerates the exact samples (pure integer arithmetic —
+    ``((i·freq) mod 2000 − 1000) / 32768``) and recomputes RMS/ZCR."""
+    from pisa_ray.ops.multimodal import decode_audio, synth_wav
+
+    def to_wav(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "payload": pa.array([synth_wav(int(d)) for d in ids],
+                                type=pa.binary()),
+        })
+
+    ds = _docs_ds(sf_dir).map_batches(to_wav, batch_format="pyarrow")
+    return decode_audio(ds).map_batches(
+        lambda t: t.drop_columns(["frame_rms"]), batch_format="pyarrow")
+
+
+SQL_AUDIO_FEATURES = """
+WITH params AS (
+    SELECT doc_id, 8000 AS sr,
+           800 + (doc_id % 5) * 160 AS n,
+           7 + (doc_id % 8) * 13 AS freq
+    FROM documents
+),
+samples AS (
+    SELECT doc_id, sr, n,
+           unnest(generate_series(0, n - 1)) AS i,
+           freq
+    FROM params
+),
+vals AS (
+    SELECT doc_id, sr, n, i,
+           (((i * freq) % 2000) - 1000) / 32768.0 AS s
+    FROM samples
+),
+seq AS (
+    SELECT doc_id, sr, n, s,
+           lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev_s
+    FROM vals
+)
+SELECT doc_id,
+       CAST(any_value(sr) AS INT) AS sample_rate,
+       CAST(1 AS INT) AS channels,
+       CAST(any_value(n) AS BIGINT) AS n_samples,
+       round(any_value(n) / CAST(any_value(sr) AS DOUBLE), 6) AS duration_s,
+       round(sqrt(avg(s * s)), 6) AS rms,
+       round(avg(CASE WHEN prev_s * s < 0 THEN 1.0 ELSE 0.0 END)
+             FILTER (prev_s IS NOT NULL), 6) AS zcr
+FROM seq GROUP BY doc_id"""
+
+
 # ---------------------------------------------------------------------------
 # embeddings entries
 
@@ -1060,6 +1115,7 @@ QUERIES: Dict[str, Callable] = {
     "token_counts": q_token_counts,
     "doc_fingerprints": q_fingerprints,
     "multimodal_meta": q_multimodal_meta,
+    "audio_features": q_audio_features,
     "ann_topk": q_ann_topk,
     "embed_dup_pairs": q_embed_dup_pairs,
     "lsh_ann_topk": q_lsh_ann,
@@ -1103,6 +1159,7 @@ ORACLE_SQL: Dict[str, str] = {
     "token_counts": SQL_TOKEN_COUNTS,
     "doc_fingerprints": SQL_FINGERPRINTS,
     "multimodal_meta": SQL_MULTIMODAL_META,
+    "audio_features": SQL_AUDIO_FEATURES,
     "ann_topk": SQL_ANN_TOPK,
     "embed_dup_pairs": SQL_EMBED_DUP_PAIRS,
     "events_hourly_window": SQL_EVENTS_HOURLY,

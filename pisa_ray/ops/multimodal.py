@@ -259,3 +259,125 @@ def embed_binary(ds, *, payload_col: str = "payload", id_col: str = "doc_id",
                                "dim": dim},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# audio: REAL WAV decode (stdlib wave — no external codec needed)
+
+def synth_wav(doc_id: int, *, sample_rate: int = 8000) -> bytes:
+    """Deterministic mono 16-bit PCM WAV for doc ``doc_id``: an
+    integer-arithmetic sawtooth (``((i·freq) mod 2000) − 1000``), so an
+    SQL oracle can replicate every sample EXACTLY (no libm sin whose
+    last-ulp differs across libraries).  Length and frequency vary with
+    the doc id."""
+    import io
+    import wave
+
+    n = 800 + (doc_id % 5) * 160
+    freq = 7 + (doc_id % 8) * 13
+    i = np.arange(n, dtype=np.int64)
+    q = ((i * freq) % 2000 - 1000).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(q.tobytes())
+    return buf.getvalue()
+
+
+class AudioDecode:
+    """Actor-pool REAL audio decode + feature extraction: parses RIFF/PCM
+    WAV payloads with the stdlib ``wave`` module (8/16-bit PCM), then
+    vectorized features per clip — sample_rate, channels, n_samples,
+    duration, RMS, zero-crossing rate, and an ``n_frames``-window RMS
+    vector (the frame-sample op).  Codec-library formats (MP3/AAC/…)
+    raise the honest unavailable-codec error; decoder state belongs in
+    ``__init__`` (once per actor)."""
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "doc_id",
+                 n_frames: int = 8, on_error: str = "raise"):
+        if on_error not in ("raise", "skip"):
+            raise ValueError(on_error)
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.n_frames = n_frames
+        self.on_error = on_error
+
+    def _decode(self, p: bytes):
+        import io
+        import wave
+
+        if p[:4] != b"RIFF":
+            raise ValueError(
+                "payload is not RIFF/WAV; MP3/AAC decode requires ffmpeg, "
+                "unavailable in this container")
+        with wave.open(io.BytesIO(p), "rb") as w:
+            sr = w.getframerate()
+            ch = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+        if width == 2:
+            s = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        elif width == 1:  # 8-bit WAV is unsigned
+            s = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+                 - 128.0) / 128.0
+        else:
+            raise ValueError(f"unsupported PCM width {width}")
+        if ch > 1:
+            s = s.reshape(-1, ch).mean(axis=1)
+        return sr, ch, s
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from pisa_ray.utils import round_half_away
+
+        ids, srs, chs, ns, durs, rmss, zcrs, frames = \
+            [], [], [], [], [], [], [], []
+        for doc_id, p in zip(batch[self.id_col].to_pylist(),
+                             batch[self.payload_col].to_pylist()):
+            try:
+                sr, ch, s = self._decode(p or b"")
+            except ValueError:
+                if self.on_error == "skip":
+                    continue
+                raise
+            n = len(s)
+            ids.append(doc_id)
+            srs.append(sr)
+            chs.append(ch)
+            ns.append(n)
+            durs.append(float(round_half_away(n / sr, 6)))
+            rmss.append(float(round_half_away(
+                np.sqrt(np.mean(s * s)) if n else 0.0, 6)))
+            zcrs.append(float(round_half_away(
+                np.mean(s[:-1] * s[1:] < 0.0) if n > 1 else 0.0, 6)))
+            if n and self.n_frames:
+                bounds = np.linspace(0, n, self.n_frames + 1).astype(int)
+                fr = [float(np.sqrt(np.mean(s[a:b] * s[a:b]))) if b > a
+                      else 0.0 for a, b in zip(bounds[:-1], bounds[1:])]
+            else:
+                fr = [0.0] * self.n_frames
+            frames.append(fr)
+        return pa.table({
+            "doc_id": pa.array(ids, type=batch[self.id_col].type),
+            "sample_rate": pa.array(srs, type=pa.int32()),
+            "channels": pa.array(chs, type=pa.int32()),
+            "n_samples": pa.array(ns, type=pa.int64()),
+            "duration_s": pa.array(durs, type=pa.float64()),
+            "rms": pa.array(rmss, type=pa.float64()),
+            "zcr": pa.array(zcrs, type=pa.float64()),
+            "frame_rms": pa.array(frames, type=pa.list_(pa.float64())),
+        })
+
+
+def decode_audio(ds, *, payload_col: str = "payload", id_col: str = "doc_id",
+                 n_frames: int = 8, concurrency: int = 2,
+                 batch_size: int = 64, on_error: str = "raise"):
+    """Actor-pool audio decode + features (small batches, wide rows) —
+    the audio leg of the multimodal plumbing, REAL end to end for WAV."""
+    return ds.map_batches(
+        AudioDecode,
+        fn_constructor_kwargs={"payload_col": payload_col, "id_col": id_col,
+                               "n_frames": n_frames, "on_error": on_error},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)

@@ -422,3 +422,62 @@ def test_minhash_carry_equals_join_many_dups(ray_session):
     assert len(c) >= 40  # the planted dups were found
     assert c[["doc_a", "doc_b"]].equals(j[["doc_a", "doc_b"]])
     assert np.allclose(c["est_jaccard"], j["est_jaccard"])
+
+
+def test_audio_decode_features(ray_session):
+    """REAL WAV round-trip: stdlib-encoded PCM decodes to the exact
+    synthesized samples; RMS/ZCR/frames match direct numpy computation."""
+    import io
+    import wave
+
+    import ray.data
+
+    from pisa_ray.ops.multimodal import AudioDecode, decode_audio, synth_wav
+    from pisa_ray.utils import round_half_away
+
+    ids = [0, 3, 7]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "payload": pa.array([synth_wav(d) for d in ids], type=pa.binary()),
+    }))
+    res = decode_audio(ds, n_frames=4).to_pandas().set_index("doc_id")
+    for d in ids:
+        n = 800 + (d % 5) * 160
+        freq = 7 + (d % 8) * 13
+        i = np.arange(n, dtype=np.int64)
+        s = ((i * freq) % 2000 - 1000) / 32768.0
+        row = res.loc[d]
+        assert row["sample_rate"] == 8000 and row["channels"] == 1
+        assert row["n_samples"] == n
+        assert row["rms"] == float(round_half_away(np.sqrt(np.mean(s * s)), 6))
+        assert row["zcr"] == float(round_half_away(
+            np.mean(s[:-1] * s[1:] < 0), 6))
+        assert len(row["frame_rms"]) == 4
+        b = np.linspace(0, n, 5).astype(int)
+        assert row["frame_rms"][0] == pytest.approx(
+            np.sqrt(np.mean(s[b[0]:b[1]] ** 2)))
+
+    # stereo + 8-bit paths
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(4000)
+        inter = np.array([100, 300, -100, -300], dtype="<i2")  # 2 frames
+        w.writeframes(inter.tobytes())
+    dec = AudioDecode()
+    out = dec(pa.table({
+        "doc_id": pa.array([1], type=pa.int64()),
+        "payload": pa.array([buf.getvalue()], type=pa.binary()),
+    })).to_pylist()[0]
+    assert out["channels"] == 2 and out["n_samples"] == 2
+    assert out["rms"] == pytest.approx(float(round_half_away(np.sqrt(
+        np.mean(np.array([200 / 32768.0, -200 / 32768.0]) ** 2)), 6)))
+
+    # non-WAV payload: honest codec error / skip mode
+    bad = pa.table({"doc_id": pa.array([9], type=pa.int64()),
+                    "payload": pa.array([b"ID3\x03mp3data"],
+                                        type=pa.binary())})
+    with pytest.raises(ValueError, match="RIFF"):
+        AudioDecode()(bad)
+    assert AudioDecode(on_error="skip")(bad).num_rows == 0
