@@ -865,6 +865,68 @@ SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
 FROM documents"""
 
 
+def q_video_frames(sf_dir: str):
+    """REAL video leg: deterministic Y4M clip per doc (uncompressed
+    4:2:0, integer luma pattern), actor-pool frame sampling (every 2nd
+    frame), per-frame mean luma — exploded to one row per sampled frame
+    so the oracle compares scalars.  The SQL regenerates the exact
+    pixels (``(p + 7f + doc) mod 251``)."""
+    from pisa_ray.ops.multimodal import sample_video_frames, synth_y4m
+
+    def to_y4m(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "payload": pa.array([synth_y4m(int(d)) for d in ids],
+                                type=pa.binary()),
+        })
+
+    def explode(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        idx = t["frame_idx"].to_pylist()
+        lens = _np.asarray([len(x) for x in idx], dtype=_np.int64)
+        rep = lambda col: _np.repeat(  # noqa: E731
+            col.to_numpy(zero_copy_only=False), lens)
+        return pa.table({
+            "doc_id": pa.array(rep(t["doc_id"]), type=pa.int64()),
+            "width": pa.array(rep(t["width"]), type=pa.int32()),
+            "height": pa.array(rep(t["height"]), type=pa.int32()),
+            "n_frames": pa.array(rep(t["n_frames"]), type=pa.int64()),
+            "frame_idx": pc.cast(t["frame_idx"].combine_chunks().flatten(),
+                                 pa.int32()),
+            "mean_luma": t["frame_mean_luma"].combine_chunks().flatten(),
+        })
+
+    ds = _docs_ds(sf_dir).map_batches(to_y4m, batch_format="pyarrow")
+    return sample_video_frames(ds, step=2).map_batches(
+        explode, batch_format="pyarrow")
+
+
+SQL_VIDEO_FRAMES = """
+WITH params AS (
+    SELECT doc_id, 16 AS w, 16 AS h, 4 + (doc_id % 4) AS nf FROM documents
+),
+frames AS (
+    SELECT doc_id, w, h, nf,
+           unnest(generate_series(0, nf - 1, 2)) AS f
+    FROM params
+),
+pix AS (
+    SELECT doc_id, w, h, nf, f,
+           unnest(generate_series(0, w * h - 1)) AS p
+    FROM frames
+)
+SELECT doc_id,
+       CAST(any_value(w) AS INT) AS width,
+       CAST(any_value(h) AS INT) AS height,
+       CAST(any_value(nf) AS BIGINT) AS n_frames,
+       CAST(f AS INT) AS frame_idx,
+       round(avg(CAST((p + 7 * f + doc_id) % 251 AS DOUBLE)), 6)
+           AS mean_luma
+FROM pix GROUP BY doc_id, f"""
+
+
 def q_audio_features(sf_dir: str):
     """REAL audio leg of the multimodal plumbing: synthesize a
     deterministic integer-sawtooth WAV per doc, decode the RIFF/PCM bytes
@@ -1116,6 +1178,7 @@ QUERIES: Dict[str, Callable] = {
     "doc_fingerprints": q_fingerprints,
     "multimodal_meta": q_multimodal_meta,
     "audio_features": q_audio_features,
+    "video_frames": q_video_frames,
     "ann_topk": q_ann_topk,
     "embed_dup_pairs": q_embed_dup_pairs,
     "lsh_ann_topk": q_lsh_ann,
@@ -1160,6 +1223,7 @@ ORACLE_SQL: Dict[str, str] = {
     "doc_fingerprints": SQL_FINGERPRINTS,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "audio_features": SQL_AUDIO_FEATURES,
+    "video_frames": SQL_VIDEO_FRAMES,
     "ann_topk": SQL_ANN_TOPK,
     "embed_dup_pairs": SQL_EMBED_DUP_PAIRS,
     "events_hourly_window": SQL_EVENTS_HOURLY,

@@ -481,3 +481,37 @@ def test_audio_decode_features(ray_session):
     with pytest.raises(ValueError, match="RIFF"):
         AudioDecode()(bad)
     assert AudioDecode(on_error="skip")(bad).num_rows == 0
+
+
+def test_video_frame_sample(ray_session):
+    """REAL Y4M round-trip: parse header + raw 4:2:0 frames, stride
+    sampling, mean-luma features match the synthesis pattern."""
+    import ray.data
+
+    from pisa_ray.ops.multimodal import (VideoFrameSample,
+                                         sample_video_frames, synth_y4m)
+
+    ids = [0, 5]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "payload": pa.array([synth_y4m(d) for d in ids], type=pa.binary()),
+    }))
+    res = sample_video_frames(ds, step=2).to_pandas().set_index("doc_id")
+    for d in ids:
+        nf = 4 + (d % 4)
+        row = res.loc[d]
+        assert row["width"] == 16 and row["height"] == 16
+        assert row["n_frames"] == nf
+        assert list(row["frame_idx"]) == list(range(0, nf, 2))
+        p = np.arange(256, dtype=np.int64)
+        for j, f in enumerate(row["frame_idx"]):
+            want = ((p + 7 * f + d) % 251).mean()
+            assert row["frame_mean_luma"][j] == pytest.approx(want, abs=1e-6)
+
+    # non-Y4M payload: honest codec error / skip
+    bad = pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                    "payload": pa.array([b"\x00\x00\x00 ftypmp42"],
+                                        type=pa.binary())})
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        VideoFrameSample()(bad)
+    assert VideoFrameSample(on_error="skip")(bad).num_rows == 0
