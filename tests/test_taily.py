@@ -164,3 +164,31 @@ def test_taily_thresholds_tool(taily_env):
     # deterministic
     df2 = taily_thresholds(eng, qs, k=5, stats=stats)
     assert df.equals(df2)
+
+
+# -- property tests (hypothesis) ---------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(a=st.floats(0.05, 80.0), x=st.floats(0.0, 200.0))
+def test_gammainc_in_unit_interval_and_complement(a, x):
+    p = gammainc_p(a, x)
+    assert 0.0 <= p <= 1.0
+    # recurrence P(a, x) = P(a+1, x) + x^a e^-x / Γ(a+1)  (A&S 6.5.21)
+    import math
+
+    lterm = a * math.log(x) - x - math.lgamma(a + 1.0) if x > 0 else None
+    if lterm is not None and lterm > -700:
+        assert p == pytest.approx(gammainc_p(a + 1.0, x) + math.exp(lterm),
+                                  abs=1e-10)
+
+
+@settings(max_examples=25, deadline=None)
+@given(shape=st.floats(0.1, 50.0), scale=st.floats(0.01, 100.0),
+       q=st.floats(0.001, 0.999))
+def test_gamma_ppf_inverts_cdf(shape, scale, q):
+    x = gamma_ppf(shape, scale, q)
+    assert gammainc_p(shape, x / scale) == pytest.approx(q, abs=1e-9)
