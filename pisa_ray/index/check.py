@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 import pyarrow as pa
