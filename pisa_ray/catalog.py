@@ -394,6 +394,37 @@ def q_bm25_topk_bmt(sf_dir: str) -> pd.DataFrame:
     return df[df["rank"] <= TOPK].reset_index(drop=True)
 
 
+def q_bm25_topk_sharded(sf_dir: str) -> pd.DataFrame:
+    """Same ranked protocol served through the doc-sharded fan-out
+    (`run_queries_sharded`: one actor pool per docid range, global
+    statistics, small merge) — driver-certifies that shard-and-merge is
+    rank-identical to single-index serving via the same SQL oracle.
+    Full per-shard lists feed the module's rounded re-rank (high-df
+    queries tie at 4 decimals, so a top-k cut before rounding would be
+    order-unstable — same reason `_ranked_results` uses k=10⁹)."""
+    from pisa_ray.query.engine import run_queries_sharded
+
+    res = run_queries_sharded(
+        [(qid, " ".join(ts)) for qid, ts in QUERY_SET],
+        get_index_dir(sf_dir), num_shards=3, k=10 ** 9,
+        concurrency=3).to_pandas()
+    frames = []
+    for qid, _terms in QUERY_SET:
+        sub = res[res["qid"] == qid]
+        if not len(sub):
+            continue
+        scores = _round_match(sub["score"].to_numpy(), 4)
+        docs = sub["doc_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((docs, -scores))[:TOPK]
+        frames.append(pd.DataFrame({
+            "qid": qid,
+            "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+            "doc_id": docs[order],
+            "score": scores[order],
+        }))
+    return pd.concat(frames, ignore_index=True)
+
+
 SQL_BM25_TOPK = _RANKED_CTE + f"""
 SELECT qid, CAST(rnk AS BIGINT) AS rank, CAST(doc_id AS BIGINT) AS doc_id,
        score_r AS score
@@ -1161,6 +1192,7 @@ QUERIES: Dict[str, Callable] = {
     "collection_ordering": q_collection_ordering,
     "bm25_topk": q_bm25_topk,
     "bm25_topk_bmt": q_bm25_topk_bmt,
+    "bm25_topk_sharded": q_bm25_topk_sharded,
     "thresholds": q_thresholds,
     "bool_counts": q_bool_counts,
     "term_max_scores": q_term_max_scores,
@@ -1206,6 +1238,7 @@ ORACLE_SQL: Dict[str, str] = {
     "collection_ordering": SQL_COLLECTION_ORDERING,
     "bm25_topk": SQL_BM25_TOPK,
     "bm25_topk_bmt": SQL_BM25_TOPK,
+    "bm25_topk_sharded": SQL_BM25_TOPK,
     "thresholds": SQL_THRESHOLDS,
     "bool_counts": SQL_BOOL_COUNTS,
     "term_max_scores": SQL_TERM_MAX_SCORES,
