@@ -53,8 +53,12 @@ def main(argv=None) -> int:
 
     if not ray.is_initialized():
         # on a cluster (ray job submit) this attaches to the running Ray;
-        # standalone it starts a local one
-        ray.init(address="auto", ignore_reinit_error=True)
+        # standalone (no cluster, no RAY_ADDRESS) address="auto" raises
+        # ConnectionError — fall back to a local session
+        try:
+            ray.init(address="auto", ignore_reinit_error=True)
+        except ConnectionError:
+            ray.init(address="local", ignore_reinit_error=True)
 
     import ray.data
 

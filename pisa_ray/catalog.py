@@ -574,11 +574,11 @@ def q_posting_sample(sf_dir: str):
     sample_inverted_index capability, tools/sample_inverted_index.cpp)."""
     ds = q_postings(sf_dir)
 
+    from pisa_ray.utils import hash_sample_mask
+
     def sample(batch: pa.Table) -> pa.Table:
-        doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        keep = (doc * np.uint64(2654435761)) % np.uint64(4294967296) \
-            < np.uint64(2147483648)
-        return batch.filter(pa.array(keep))
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(hash_sample_mask(doc, 0.5)))
 
     return ds.map_batches(sample, batch_format="pyarrow")
 

@@ -67,16 +67,16 @@ def qmx_encode(values: np.ndarray) -> bytes:
             sels.append(0)
             i += take
             continue
-        sel = _width_for(chunk.max())
-        # narrower widths cover fewer ints per word; re-check with the
-        # actual slot count (the max over a shorter prefix can be smaller)
-        while True:
+        # smallest selector whose word actually fits its own slot count:
+        # narrower width → more slots → larger prefix max → feasibility is
+        # monotone in sel, so the first feasible sel (scanning up from the
+        # width the first value alone needs) is the minimal one
+        sel = _width_for(v64[i])
+        while sel < len(_WIDTHS) - 1:
             cnt = min(int(_COUNTS[sel]), rest)
-            pref = v64[i:i + cnt]
-            fit = _width_for(pref.max())
-            if fit <= sel:
+            if v64[i:i + cnt].max() < _POW2[sel]:
                 break
-            sel = fit
+            sel += 1
         w = int(_WIDTHS[sel])
         cnt = min(int(_COUNTS[sel]), rest)
         slot = v64[i:i + cnt]

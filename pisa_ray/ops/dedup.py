@@ -347,9 +347,14 @@ def minhash_signatures(ds, *, num_perm: int = 64, n: int = 3, seed: int = 7,
                         % _MERSENNE                               # (c, S)
                     mins = np.minimum.reduceat(perm, starts, axis=1)
                     sig_mat[nonempty, lo:hi] = mins.T
+        # MinHash is undefined on an empty shingle set: token-less docs
+        # carry NO signature (an all-MAXU sentinel would pair every empty
+        # doc as an est=1.0 dup and diverge from the SQL oracle, which
+        # generates no shingle rows for them)
+        keep = np.flatnonzero(counts > 0)
         return pa.table({
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "sig": pa.array(list(sig_mat), type=pa.list_(pa.uint64())),
+            "doc_id": pa.array([ids[i] for i in keep], type=pa.int64()),
+            "sig": pa.array(list(sig_mat[keep]), type=pa.list_(pa.uint64())),
         })
 
     return ds.map_batches(sig_batch, batch_format="pyarrow")

@@ -398,15 +398,15 @@ def ivf_train(ds, *, n_centroids: int = 16, iters: int = 8, seed: int = 13,
 
     Returns a row-normalized (n_centroids, dim) float64 matrix
     (cosine/IP IVF: assignment by max dot product of unit vectors)."""
+    from pisa_ray.utils import hash_sample_mask
+
     n_total = ds.count()
     rate = min(1.0, float(train_sample) / max(1, n_total))
-    thresh = np.uint64(int(rate * 4294967296.0))
-    mult = np.uint64(2654435761 + 2 * seed)
+    mult = 2654435761 + 2 * seed
 
     def sample(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        keep = (ids * mult) % np.uint64(4294967296) < thresh
-        return t.filter(pa.array(keep))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(hash_sample_mask(ids, rate, mult=mult)))
 
     samp = (ds.map_batches(sample, batch_format="pyarrow")
             .sort(id_col).take_all())
@@ -416,7 +416,6 @@ def ivf_train(ds, *, n_centroids: int = 16, iters: int = 8, seed: int = 13,
                                  dtype=np.float64))
     c = min(n_centroids, len(vecs))
     centroids = vecs[:c].copy()
-    assign = np.zeros(len(vecs), dtype=np.int64)
     for _ in range(iters):
         assign = np.argmax(vecs @ centroids.T, axis=1)
         for ci in range(c):
@@ -424,9 +423,12 @@ def ivf_train(ds, *, n_centroids: int = 16, iters: int = 8, seed: int = 13,
             if len(members):
                 centroids[ci] = members.mean(axis=0)
         centroids = _normalize(centroids)
-    # drop cells that ended empty on the training sample — a dead cell
-    # probed by a query contributes nothing and can leave the query with
-    # fewer than k results
+    # drop cells that end empty on the training sample under the FINAL
+    # centroids (assignment recomputed after the last update — the
+    # in-loop one is stale by one step) — a dead cell probed by a query
+    # contributes nothing and can leave the query with fewer than k
+    # results
+    assign = np.argmax(vecs @ centroids.T, axis=1)
     live = np.isin(np.arange(c), np.unique(assign))
     return centroids[live] if live.any() else centroids
 

@@ -693,9 +693,26 @@ def block_max_taat_arrays(lists, n: int, k: int,
         # rids are strictly increasing (sorted docs) → plain fancy add
         upper[rids] += rmax.astype(np.float64) * x[3]
     order = np.argsort(-upper, kind="stable")
-    # strict entry threshold: scores must exceed it to matter; == kth kept
-    thr_strict = float(np.nextafter(np.float32(initial_threshold),
-                                    np.float32(0.0)))
+
+    # strict entry threshold: scores must EXCEED it, so == threshold is
+    # kept.  Lower the f32 threshold by (num_lists + 1) ulps: one ulp for
+    # the strictness itself (toward −inf — nextafter toward 0 moves the
+    # wrong way for negative thresholds), the rest as slack for f32
+    # sequential-accumulation rounding — a doc whose served f32 sum
+    # rounds up by ≤ L ulps must not be range-skipped by the f64 bound
+    # (rank-identity contract; extra pool candidates are harmless, the
+    # final selection re-sorts true scores)
+    def _lower(t: float) -> float:
+        x = np.float32(t)
+        for _ in range(len(keep) + 1):
+            x = np.nextafter(x, np.float32(-np.inf))
+        return float(x)
+
+    # exactly 0.0 stays 0.0: no real score ties zero, and a negative
+    # epsilon would admit every untouched (exactly-0) accumulator cell
+    # in the dense candidate scan
+    thr_strict = 0.0 if initial_threshold == 0.0 \
+        else _lower(initial_threshold)
     local = workspace if workspace is not None and len(workspace) >= rsize \
         else np.zeros(rsize, dtype=np.float32)
     pool_d: List[np.ndarray] = []
@@ -747,9 +764,7 @@ def block_max_taat_arrays(lists, n: int, k: int,
             pd = np.concatenate(pool_d) if len(pool_d) > 1 else pool_d[0]
             ps = np.concatenate(pool_s) if len(pool_s) > 1 else pool_s[0]
             kth = float(np.partition(ps, len(ps) - k)[len(ps) - k])
-            thr_strict = max(thr_strict,
-                             float(np.nextafter(np.float32(kth),
-                                                np.float32(0.0))))
+            thr_strict = max(thr_strict, _lower(kth))
             keep_m = ps >= np.float32(kth)
             pool_d, pool_s = [pd[keep_m]], [ps[keep_m]]
             pool_n = int(keep_m.sum())

@@ -144,9 +144,15 @@ def scored_postings_ds(index_dir: str):
         from pisa_ray.query.scorers import make_scorer
 
         doc_lens, stats, df_arr, occ_arr, cfg = _cached(stats_ref)
-        dtype = (np.float32 if cfg.get("score_dtype") == "float32"
+        dtype = (np.float32 if cfg.get("score_dtype", "float32") == "float32"
                  else np.float64)
-        scorer = make_scorer(cfg.get("scorer", "bm25"), dtype=dtype)
+        # mirror QueryEngine's scorer selection exactly: configured params
+        # apply, and a quantized index (impacts stored as freqs) scores
+        # with the quantized scorer, never raw BM25 over impact values
+        name = ("quantized" if int(cfg.get("quantize_bits") or 0) > 0
+                else cfg.get("scorer", "bm25"))
+        scorer = make_scorer(name, dtype=dtype,
+                             **dict(cfg.get("scorer_params") or {}))
         tids, lens, part_d, part_w = [], [], [], []
         for row in _batch_rows(batch):
             view = SegmentView(row, block_size=cfg.get("block_size", 128),
@@ -397,8 +403,9 @@ def kth_threshold_sampling(engine: QueryEngine, queries, *, k: int = 10,
     k' = max(1, ceil(k·rate)).  An estimate, not a bound: ``safe``
     reports whether it stayed under the true threshold.  Deterministic →
     SQL-oracle-able.  Returns (qid, est_threshold, true_threshold, safe)."""
+    from pisa_ray.utils import hash_sample_mask
+
     kprime = max(1, int(np.ceil(k * rate)))
-    thresh = np.uint64(int(rate * 4294967296.0))
     cache: Dict[int, float] = {}
     rows = []
     for qid, text in queries:
@@ -407,8 +414,7 @@ def kth_threshold_sampling(engine: QueryEngine, queries, *, k: int = 10,
         for tid in term_ids:
             if tid not in cache:
                 docs, scores = _term_doc_scores(engine, int(tid))
-                keep = ((docs.astype(np.uint64) * np.uint64(2654435761))
-                        % np.uint64(4294967296)) < thresh
+                keep = hash_sample_mask(docs, rate)
                 s = np.sort(scores[keep])[::-1]
                 cache[tid] = float(s[kprime - 1]) if len(s) >= kprime else 0.0
             est = max(est, cache[tid])
@@ -806,17 +812,19 @@ def kth_threshold_simulator(engine: QueryEngine, queries, *, k: int = 10,
     SQL-oracle-able.
 
     Returns (qid, k_prime, est_threshold, true_threshold, safe)."""
+    from pisa_ray.utils import hash_sample_mask
+
     kprime = sampling_kprime(k, rate, target_overestimate)
-    thresh = np.uint64(int(rate * 4294967296.0))
     rows = []
     for qid, text in queries:
         results = engine.run(text, k=k * 50)
         true = engine.threshold(text, k=k)
         est = 0.0
         valid = 0
-        for score, doc in results:
-            if ((np.uint64(doc) * np.uint64(2654435761))
-                    % np.uint64(4294967296)) < thresh:
+        sampled_mask = hash_sample_mask([doc for _, doc in results], rate) \
+            if results else []
+        for (score, doc), in_sample in zip(results, sampled_mask):
+            if in_sample:
                 valid += 1
                 if valid == kprime:
                     est = float(score)

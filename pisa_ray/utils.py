@@ -96,3 +96,16 @@ def round_half_away(arr, ndigits: int):
     s = 10.0 ** ndigits
     a = np.asarray(arr, dtype=np.float64)
     return np.sign(a) * np.floor(np.abs(a) * s + 0.5) / s
+
+
+def hash_sample_mask(ids, rate: float, *, mult: int = 2654435761):
+    """Deterministic Knuth-multiplicative sampling predicate over an id
+    column: ``(id · mult) mod 2³² < rate · 2³²``.  The ONE definition
+    shared by sample_inverted_index, the kth-threshold sampling family,
+    the simulator and IVF training — their SQL oracles hard-code the
+    same arithmetic, so any change here must update those strings too."""
+    import numpy as np
+
+    thresh = np.uint64(int(rate * 4294967296.0))
+    u = np.asarray(ids).astype(np.uint64)
+    return (u * np.uint64(mult)) % np.uint64(4294967296) < thresh

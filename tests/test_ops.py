@@ -515,3 +515,22 @@ def test_video_frame_sample(ray_session):
     with pytest.raises(ValueError, match="YUV4MPEG2"):
         VideoFrameSample()(bad)
     assert VideoFrameSample(on_error="skip")(bad).num_rows == 0
+
+
+def test_minhash_tokenless_docs_carry_no_signature(ray_session):
+    """Empty/whitespace docs have no shingles: they must not pair with
+    each other as fake est=1.0 dups (MinHash undefined on empty sets —
+    and the SQL oracle generates no rows for them)."""
+    import ray.data
+
+    from pisa_ray.ops.dedup import minhash_lsh_pairs, minhash_signatures
+
+    texts = ["", "   ", "alpha beta gamma delta", "alpha beta gamma delta"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    }))
+    sigs = minhash_signatures(ds).to_pandas()
+    assert set(sigs["doc_id"]) == {2, 3}
+    pairs = minhash_lsh_pairs(ds, verify_threshold=0.5).to_pandas()
+    assert set(zip(pairs["doc_a"], pairs["doc_b"])) == {(2, 3)}
