@@ -289,9 +289,8 @@ def _cosine_pairs_blocked(ds, threshold: float, plan: tuple, seed: int,
 
     def band_rows(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        emb = np.asarray(t[vec_col].combine_chunks().flatten().to_numpy(
-            zero_copy_only=False), dtype=np.float64).reshape(n, -1)
-        en = _normalize(emb)
+        en = np.frombuffer(b"".join(t["vb"].to_pylist()),
+                           dtype=np.float64).reshape(n, -1)
         rng = np.random.default_rng(seed)
         planes = rng.standard_normal((L * r, en.shape[1]))
         bits = (en @ planes.T) > 0                       # (n, L*r)
@@ -313,7 +312,24 @@ def _cosine_pairs_blocked(ds, threshold: float, plan: tuple, seed: int,
             "grp": pa.array(coarse, type=pa.int32()),
         })
 
-    banded = ds.map_batches(band_rows, batch_format="pyarrow")
+    def pack(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        flat = np.asarray(t["_nvec"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False), dtype=np.float64).reshape(n, -1)
+        return pa.table({
+            id_col: t[id_col],
+            "vb": pa.array([row.tobytes() for row in flat],
+                           type=pa.binary()),
+        })
+
+    # normalize+pack ONCE and materialize: both the banding map and the
+    # verify join read the same blocks (two lazy consumers would each
+    # re-run the read+normalize — the heaviest phase); the pinned copy is
+    # N×dim×8 bytes, which the object store spills as needed
+    vecs = (ds.map_batches(nvecs, batch_format="pyarrow")
+            .map_batches(pack, batch_format="pyarrow").materialize())
+
+    banded = vecs.map_batches(band_rows, batch_format="pyarrow")
     pairs = banded.groupby("grp").map_groups(
         _emit_bucket_pairs, batch_format="pandas")
     from ray.data.aggregate import Count
@@ -328,18 +344,6 @@ def _cosine_pairs_blocked(ds, threshold: float, plan: tuple, seed: int,
         "a": pa.array([], type=pa.int64()),
         "b": pa.array([], type=pa.int64())}))
 
-    def pack(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        flat = np.asarray(t["_nvec"].combine_chunks().flatten().to_numpy(
-            zero_copy_only=False), dtype=np.float64).reshape(n, -1)
-        return pa.table({
-            id_col: t[id_col],
-            "vb": pa.array([row.tobytes() for row in flat],
-                           type=pa.binary()),
-        })
-
-    vecs = (ds.map_batches(nvecs, batch_format="pyarrow")
-            .map_batches(pack, batch_format="pyarrow"))
     wp = uniq.join(vecs, join_type="inner", num_partitions=JOIN_PARTITIONS,
                    on=("a",), right_on=(id_col,))
     wp = wp.rename_columns({"vb": "vb_a"})
