@@ -1,7 +1,8 @@
 """Golden-file verification for the approximate (non-SQL-expressible) ops.
 
-The driver's DuckDB oracle cannot express MinHash/SimHash/LSH-ANN, so these
-pipelines are pinned against seed-fixed golden Parquet generated at sf0.01
+The driver's DuckDB oracle cannot express MinHash/SimHash/LSH-ANN (nor
+IVF-ANN's kmeans or Taily's Gamma quantile), so these pipelines are
+pinned against seed-fixed golden Parquet generated at sf0.01
 and reviewed by hand (the minhash golden was cross-checked to equal the
 EXACT n-gram-Jaccard pair set, and simhash overlaps 23/25 of it — see
 tests/golden/).  Any change to the hash functions, seeds, banding, or
@@ -45,7 +46,8 @@ _GOLDEN_FNS = {"minhash_lsh_pairs": _minhash_xx, "simhash_pairs": _simhash_xx}
 
 
 @pytest.mark.parametrize("name", [
-    "minhash_lsh_pairs", "simhash_pairs", "lsh_ann_topk"])
+    "minhash_lsh_pairs", "simhash_pairs", "lsh_ann_topk",
+    "ivf_ann_topk", "taily_thresholds"])
 def test_golden(name, ray_session):
     from pisa_ray.catalog import QUERIES
 
