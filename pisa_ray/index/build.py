@@ -135,6 +135,15 @@ class IndexConfig:
 DOCID_BROADCAST_MAX = int(os.environ.get("PISA_RAY_DOCID_BROADCAST_MAX",
                                          50_000_000))
 
+# term broadcast ceiling: above this many distinct terms the sorted term
+# array stops fitting a worker and the encode remap switches from the
+# broadcast `map_term_ids` to a distributed hash join against the lexicon
+# (tokens ⋈ lexicon on term; term_id/df/occ ride the postings as columns) —
+# the term-side mirror of DOCID_BROADCAST_MAX (SURVEY §2.5; reference
+# semantics src/forward_index_builder.cpp:73-83)
+TERM_BROADCAST_MAX = int(os.environ.get("PISA_RAY_TERM_BROADCAST_MAX",
+                                        100_000_000))
+
 
 def _parquet_row_count(files) -> Optional[int]:
     """Total row count straight from parquet footers — no Ray job, no data
@@ -478,18 +487,51 @@ def map_term_ids(batch: pa.Table, *, terms_ref, doc_id_bits: int = 0) -> pa.Tabl
     })
 
 
+def map_term_ids_joined(batch: pa.Table, *, doc_id_bits: int = 0) -> pa.Table:
+    """Join-mode remap (vocab > TERM_BROADCAST_MAX): term_id/df/occ were
+    hash-joined in as columns, so there is no vocab-sized broadcast — the
+    per-term stats ride the postings through the sort into the encoder."""
+    tid = batch["term_id"].to_numpy(zero_copy_only=False) \
+        .astype(np.uint64, copy=False)
+    carried = {"tf": batch["tf"], "doc_len": batch["doc_len"],
+               "df": batch["df"], "occ": batch["occ"]}
+    if doc_id_bits:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64, copy=False)
+        key = (tid << np.uint64(doc_id_bits)) | did
+        return pa.table({"sort_key": pa.array(key, type=pa.uint64()),
+                         **carried})
+    return pa.table({
+        "term_id": pa.array(tid.astype(np.uint32), type=pa.uint32()),
+        "doc_id": batch["doc_id"],
+        **carried,
+    })
+
+
 # ---------------------------------------------------------------------------
 # stage 4: encode sorted runs into posting-list segments
 
 def encode_segments_batch(batch: pa.Table, *, stats: CollectionStats,
                           term_stats_ref, config: IndexConfig,
-                          max_score_ref=None) -> pa.Table:
+                          max_score_ref=None,
+                          num_terms: Optional[int] = None) -> pa.Table:
     """map_batches over (term_id, doc_id)-sorted blocks: encode each
     term-run as one segment row (blocks + WAND metadata in one pass,
-    mirroring the fused compress+wand design of SURVEY §3.3)."""
+    mirroring the fused compress+wand design of SURVEY §3.3).
+
+    ``term_stats_ref=None`` = join mode: per-term df/occ arrive as batch
+    COLUMNS (joined from the lexicon) instead of a vocab-sized broadcast;
+    ``num_terms`` must then be passed for the shard assignment."""
     cfg = config
-    df_arr, occ_arr = _cached_get(term_stats_ref)
-    num_terms = len(df_arr)
+    if term_stats_ref is not None:
+        df_arr, occ_arr = _cached_get(term_stats_ref)
+        if num_terms is None:
+            num_terms = len(df_arr)
+        df_col = occ_col = None
+    else:
+        df_arr = occ_arr = None
+        df_col = batch["df"].to_numpy(zero_copy_only=False)
+        occ_col = batch["occ"].to_numpy(zero_copy_only=False)
     dtype = np.float32 if cfg.score_dtype == "float32" else np.float64
     scorer = make_scorer(cfg.scorer, dtype=dtype, **dict(cfg.scorer_params))
     from pisa_ray.utils import alloc_array
@@ -531,8 +573,11 @@ def encode_segments_batch(batch: pa.Table, *, stats: CollectionStats,
         tid = int(term_ids[lo])
         seg_docs = doc_ids[lo:hi]
         seg_tfs = tfs[lo:hi]
-        ts = scorer.term_scorer(
-            int(df_arr[tid]), int(occ_arr[tid]), stats)
+        if df_col is None:
+            t_df, t_occ = int(df_arr[tid]), int(occ_arr[tid])
+        else:
+            t_df, t_occ = int(df_col[lo]), int(occ_col[lo])
+        ts = scorer.term_scorer(t_df, t_occ, stats)
         scores = ts(seg_tfs, doc_lens[lo:hi])
         if quantizer is not None:
             # quantized index: store the quantized impact score AS the
@@ -825,33 +870,45 @@ def build_index(
 
         _trace("sizes done")
         if not (resume and stage_complete(paths["lexicon"], cfg_hash)):
-            agg_pd = (
-                ray.data.read_parquet(paths["fwd"], columns=["term", "tf"])
-                .map_batches(_partial_term_stats, batch_format="pyarrow")
-                .groupby("term").sum(["df_part", "occ_part"])
-                .to_pandas())
-            agg_pd = agg_pd.sort_values(
-                "term", kind="stable").reset_index(drop=True)
-            lex_out = pa.table({
-                "term": pa.array(agg_pd["term"], type=pa.string()),
-                "df": pa.array(agg_pd["sum(df_part)"], type=pa.int64()),
-                "occ": pa.array(agg_pd["sum(occ_part)"], type=pa.int64()),
-                "term_id": pa.array(np.arange(len(agg_pd), dtype=np.uint32),
-                                    type=pa.uint32()),
-            })
-            _fresh_stage_dir(paths["lexicon"])
-            os.makedirs(paths["lexicon"], exist_ok=True)
-            pq.write_table(lex_out, os.path.join(paths["lexicon"],
-                                                 "part-00000.parquet"))
+            # distributed rank: per-batch partials → small groupby →
+            # sorted_with_rank (term_id = global sorted-term rank) →
+            # sharded parquet.  Nothing vocab-sized lands on the driver
+            # (this branch's whole purpose is vocab beyond driver memory).
+            lex_ds = build_lexicon(ray.data.read_parquet(
+                paths["fwd"], columns=["term", "tf"]))
+            lex_ds = lex_ds.map_batches(
+                lambda t: pa.table({
+                    "term": pc.cast(t["term"], pa.string()),
+                    "df": pc.cast(t["df"], pa.int64()),
+                    "occ": pc.cast(t["occ"], pa.int64()),
+                    "term_id": t["term_id"],
+                }),
+                batch_format="pyarrow")
+            lex_ds.write_parquet(_fresh_stage_dir(paths["lexicon"]))
             write_manifest(paths["lexicon"], cfg_hash)
-    lex_table = pa.concat_tables(
-        [pq.read_table(os.path.join(paths["lexicon"], f))
-         for f in sorted(os.listdir(paths["lexicon"])) if f.endswith(".parquet")]
-    ).sort_by("term_id")
-    num_terms = lex_table.num_rows
+    lex_files = [os.path.join(paths["lexicon"], f)
+                 for f in sorted(os.listdir(paths["lexicon"]))
+                 if f.endswith(".parquet")]
+    n_terms_meta = _parquet_row_count(lex_files)
+    # join-mode remap: vocab beyond worker memory.  The partition exchange
+    # and the quantized global-max pass still need the broadcast, so the
+    # join path pairs with the default sort exchange.
+    term_join = (config.exchange == "sort" and not config.quantize_bits
+                 and n_terms_meta is not None
+                 and n_terms_meta > TERM_BROADCAST_MAX)
+    if term_join:
+        lex_table = None
+        num_terms = int(n_terms_meta)
+        # Σocc = Σ doc_len without pulling the lexicon to the driver
+        collection_len = int(ray.data.read_parquet(
+            paths["lexicon"], columns=["occ"]).sum("occ") or 0)
+    else:
+        lex_table = pa.concat_tables(
+            [pq.read_table(f) for f in lex_files]).sort_by("term_id")
+        num_terms = lex_table.num_rows
 
-    # collection stats fall out of the lexicon: Σocc = Σ doc_len
-    collection_len = int(pc.sum(lex_table["occ"]).as_py() or 0)
+        # collection stats fall out of the lexicon: Σocc = Σ doc_len
+        collection_len = int(pc.sum(lex_table["occ"]).as_py() or 0)
     stats = CollectionStats(
         num_docs=int(num_docs),
         avg_len=collection_len / num_docs if num_docs else 0.0,
@@ -866,7 +923,49 @@ def build_index(
     fwd = tokens_md if tokens_md is not None \
         else ray.data.read_parquet(paths["fwd"])
     # -- stage: encode ------------------------------------------------------
-    if not (resume and stage_complete(paths["index"], cfg_hash)):
+    if term_join:
+        if not (resume and stage_complete(paths["index"], cfg_hash)):
+            use_packed = (config.doc_id_bits > 0
+                          and num_docs <= (1 << config.doc_id_bits)
+                          and num_terms <= (1 << (64 - config.doc_id_bits)))
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            lex_ds = ray.data.read_parquet(
+                paths["lexicon"], columns=["term", "term_id", "df", "occ"])
+            # plain-string join key: token blocks carry dictionary-encoded
+            # term columns, which the hash join won't key on
+            tok = fwd.map_batches(
+                lambda t: pa.table({
+                    "term": pc.cast(t["term"], pa.string()),
+                    "doc_id": t["doc_id"],
+                    "tf": t["tf"],
+                    "doc_len": t["doc_len"],
+                }),
+                batch_format="pyarrow")
+            joined = tok.join(lex_ds, join_type="inner",
+                              num_partitions=max(2, cpus),
+                              on=("term",), right_on=("term",))
+            encoded = (
+                joined.map_batches(
+                    map_term_ids_joined,
+                    fn_kwargs={"doc_id_bits": config.doc_id_bits
+                               if use_packed else 0},
+                    batch_format="pyarrow")
+                .sort("sort_key" if use_packed else ["term_id", "doc_id"])
+                .map_batches(encode_segments_batch,
+                             fn_kwargs={"stats": stats,
+                                        "term_stats_ref": None,
+                                        "config": config,
+                                        "num_terms": int(num_terms)},
+                             batch_format="pyarrow",
+                             batch_size=None))
+            _trace("encode (term join): writing")
+            encoded.write_parquet(_fresh_stage_dir(paths["index"]),
+                                  partition_cols=["shard"])
+            _trace("encode done (term join)")
+            write_manifest(paths["index"], cfg_hash,
+                           num_terms=int(num_terms),
+                           num_shards=config.num_shards)
+    elif not (resume and stage_complete(paths["index"], cfg_hash)):
         terms_ref = ray.put(lex_table["term"].combine_chunks())
         df_np = lex_table["df"].to_numpy()
         occ_np = lex_table["occ"].to_numpy()
