@@ -20,6 +20,13 @@ Pipelines timed:
 RAY_GRAFT_CPUS=8 and =32 on the same input and reports both throughputs
 plus scaling efficiency ((t8/t32)/(32/8)) — the sandbox stand-in for the
 north rule's N-vs-4N-node criterion (see BASELINE.md).
+
+The default (headline) invocation is STEAL-GATED like --scaling: a
+quiet-window start gate plus per-rep loadavg and /proc/stat steal
+monitoring around a fresh-process child run, retried (bounded) when the
+host polluted the rep; every attempt is recorded in the artifact
+(`headline_attempts`).  PISA_RAY_HEADLINE_GATE=0 runs the bench inline
+ungated (the gate's own child mode).
 """
 
 import json
@@ -274,12 +281,13 @@ def run_scaling() -> dict:
 
     total_cpus = os.cpu_count() or 32
 
-    def run(ncpu: int) -> dict:
+    def run(ncpu: int, warmup: bool = False) -> dict:
         while True:
             _wait_quiet(quiet_budget, ncpu)
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                        PISA_RAY_BENCH_PAGES=str(SCALING_PAGES),
-                       PISA_RAY_BENCH_STAGES="index")
+                       PISA_RAY_BENCH_STAGES="index",
+                       PISA_RAY_HEADLINE_GATE="0")
             with _LoadMonitor() as mon:
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)], env=env,
@@ -290,12 +298,18 @@ def run_scaling() -> dict:
             # ran, or the host stole a material share of our cores
             polluted = (mon.mean() > total_cpus + slack
                         or mon.steal_cpus > slack)
-            ambients.append({"ncpu": ncpu, "ambient": round(ambient, 1),
-                             "steal_cpus": round(mon.steal_cpus, 1),
-                             "polluted": polluted})
+            entry = {"ncpu": ncpu, "ambient": round(ambient, 1),
+                     "steal_cpus": round(mon.steal_cpus, 1),
+                     "polluted": polluted}
+            if warmup:
+                entry["warmup"] = True
+            ambients.append(entry)
             rep = json.loads(out.strip().splitlines()[-1])
-            if not polluted or retries[0] <= 0 or quiet_budget[0] <= 0:
-                if polluted:
+            # warmup reps never consume the retry budget (their timing is
+            # discarded anyway); only timed reps retry on pollution
+            if warmup or not polluted or retries[0] <= 0 \
+                    or quiet_budget[0] <= 0:
+                if polluted and not warmup:
                     print(f"[scaling] accepting polluted rep "
                           f"(ambient {ambient:.1f}, retries exhausted)",
                           file=sys.stderr, flush=True)
@@ -327,8 +341,8 @@ def run_scaling() -> dict:
     lo = int(os.environ.get("PISA_RAY_SCALING_LO", "2"))
     hi = int(os.environ.get("PISA_RAY_SCALING_HI", "8"))
     if warmup:
-        run(lo)
-        run(hi)
+        run(lo, warmup=True)
+        run(hi, warmup=True)
     # interleaved lo/hi reps: an external-load burst then degrades SOME
     # reps of BOTH legs instead of every rep of one leg, and best-of-N
     # recovers a clean pair
@@ -357,8 +371,52 @@ def run_scaling() -> dict:
     }
 
 
+def run_headline_gated() -> dict:
+    """Steal-gated headline bench (round-3 verdict #3): the official
+    artifact should measure the ENGINE, not the hypervisor.  Reuses the
+    --scaling machinery — quiet-window start gate, per-rep loadavg AND
+    /proc/stat steal monitoring, bounded retry on polluted reps — around
+    fresh-process `bench.py` child runs.  Every attempt's ambient/steal
+    estimate is recorded in the artifact (headline_attempts)."""
+    quiet_budget = [float(os.environ.get("PISA_RAY_QUIET_BUDGET", "900"))]
+    waited_total = quiet_budget[0]
+    slack = float(os.environ.get("PISA_RAY_SCALING_LOAD_SLACK", "3.0"))
+    retries = int(os.environ.get("PISA_RAY_HEADLINE_RETRIES", "3"))
+    total_cpus = os.cpu_count() or 32
+    env = dict(os.environ, PISA_RAY_HEADLINE_GATE="0")
+    attempts: list = []
+    best = None
+    for _ in range(retries + 1):
+        _wait_quiet(quiet_budget, NUM_CPUS)
+        with _LoadMonitor() as mon:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        rep = json.loads(out.strip().splitlines()[-1])
+        ambient = max(0.0, mon.mean() - NUM_CPUS)
+        polluted = (mon.mean() > total_cpus + slack
+                    or mon.steal_cpus > slack)
+        attempts.append({"value": rep["value"],
+                         "ambient": round(ambient, 1),
+                         "steal_cpus": round(mon.steal_cpus, 1),
+                         "polluted": polluted})
+        if best is None or rep["value"] < best["value"]:
+            best = rep
+        if not polluted:
+            break
+        print(f"[headline] rep polluted (mean load {mon.mean():.1f}, "
+              f"steal {mon.steal_cpus:.1f} cpus); retrying",
+              file=sys.stderr, flush=True)
+    best["headline_attempts"] = attempts
+    best["quiet_waited_sec"] = round(waited_total - quiet_budget[0], 1)
+    return best
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
-    else:
+    elif os.environ.get("PISA_RAY_HEADLINE_GATE", "1") == "0":
         print(json.dumps(run_bench()))
+    else:
+        print(json.dumps(run_headline_gated()))
