@@ -101,16 +101,30 @@ def lsh_ann_topk(ds, query_matrix: np.ndarray, query_ids, *, k: int = 10,
     qn = _normalize(np.asarray(query_matrix, dtype=np.float64))
     qsig = ((qn @ planes.T) > 0).astype(np.uint32)
     qcodes = (qsig << np.arange(n_planes, dtype=np.uint32)).sum(axis=1)
-    # multi-probe: query code + all Hamming-1 neighbors
-    probe_codes = {}
+    # multi-probe: query code + all Hamming-1 neighbors, flattened to a
+    # sorted code table + CSR-style query-index runs so the scan stage can
+    # match whole batches with searchsorted (no per-row Python)
+    probe_codes: dict = {}
     for qi, code in enumerate(qcodes):
         codes = {int(code)} | {int(code) ^ (1 << p) for p in range(n_planes)}
         for c in codes:
             probe_codes.setdefault(c, []).append(qi)
-    ref = ray.put((qn, list(query_ids), planes, probe_codes))
+    pcode_arr = np.array(sorted(probe_codes), dtype=np.uint32)
+    q_lens = np.array([len(probe_codes[c]) for c in pcode_arr],
+                      dtype=np.int64)
+    q_offsets = np.zeros(len(pcode_arr) + 1, dtype=np.int64)
+    np.cumsum(q_lens, out=q_offsets[1:])
+    q_flat = np.concatenate(
+        [probe_codes[c] for c in pcode_arr]).astype(np.int64) \
+        if len(pcode_arr) else np.empty(0, dtype=np.int64)
+    ref = ray.put((qn, np.asarray(list(query_ids), dtype=np.int64), planes,
+                   pcode_arr, q_offsets, q_flat))
 
     def partial(batch: pa.Table) -> pa.Table:
-        qmat, qids, pl, probes = _cached_get(ref)
+        """Bucket scan, fully vectorized (round-3 verdict #4): sort batch
+        rows by code, searchsorted the equal-code runs against the sorted
+        probe table, one blockwise matmul per matching run."""
+        qmat, qids, pl, pcodes, qoffs, qflat = _cached_get(ref)
         emb = np.asarray(batch[vec_col].combine_chunks().flatten().to_numpy(
             zero_copy_only=False), dtype=np.float64) \
             .reshape(batch.num_rows, -1)
@@ -118,16 +132,37 @@ def lsh_ann_topk(ds, query_matrix: np.ndarray, query_ids, *, k: int = 10,
         en = _normalize(emb)
         sig = ((en @ pl.T) > 0).astype(np.uint32)
         codes = (sig << np.arange(pl.shape[0], dtype=np.uint32)).sum(axis=1)
-        out_q, out_v, out_s = [], [], []
-        for bi, code in enumerate(codes):
-            for qi in probes.get(int(code), ()):
-                out_q.append(qids[qi])
-                out_v.append(ids[bi])
-                out_s.append(float(qmat[qi] @ en[bi]))
+        empty = pa.table({
+            "qid": pa.array([], type=pa.int64()),
+            "vec_id": pa.array([], type=pa.int64()),
+            "sim": pa.array([], type=pa.float64()),
+        })
+        if not len(codes) or not len(pcodes):
+            return empty
+        order = np.argsort(codes, kind="stable")
+        sc = codes[order]
+        starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        ends = np.r_[starts[1:], len(sc)]
+        run_codes = sc[starts]
+        pos = np.searchsorted(pcodes, run_codes)
+        hit = (pos < len(pcodes)) \
+            & (pcodes[np.minimum(pos, len(pcodes) - 1)] == run_codes)
+        parts_q, parts_v, parts_s = [], [], []
+        for ri in np.flatnonzero(hit):
+            rows = order[starts[ri]:ends[ri]]
+            p = pos[ri]
+            qis = qflat[qoffs[p]:qoffs[p + 1]]
+            sims = qmat[qis] @ en[rows].T  # (nq, nr)
+            parts_q.append(np.repeat(qids[qis], len(rows)))
+            parts_v.append(np.tile(ids[rows], len(qis)))
+            parts_s.append(sims.ravel())
+        if not parts_q:
+            return empty
         return pa.table({
-            "qid": pa.array(out_q, type=pa.int64()),
-            "vec_id": pa.array(out_v, type=pa.int64()),
-            "sim": pa.array(out_s, type=pa.float64()),
+            "qid": pa.array(np.concatenate(parts_q), type=pa.int64()),
+            "vec_id": pa.array(np.concatenate(parts_v).astype(np.int64),
+                               type=pa.int64()),
+            "sim": pa.array(np.concatenate(parts_s), type=pa.float64()),
         })
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
