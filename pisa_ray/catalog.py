@@ -1674,6 +1674,97 @@ SELECT est.qid,
 FROM est LEFT JOIN truek t USING (qid)"""
 
 
+# by-docid combine: every substructure's top-d conjunctive list feeds one
+# shared docid pool scored by per-doc MAX (kth_threshold_combine_did.cpp)
+_COMBINE_D = TOPK * 10
+
+
+def q_kth_threshold_combine(sf_dir: str) -> pd.DataFrame:
+    """By-docid combined threshold estimation (union of single+pair
+    substructure top-d lists, per-doc max, k-th best of the pool;
+    kth_threshold_combine_did.cpp)."""
+    from pisa_ray.tools import kth_threshold_combine
+
+    eng = _engine(sf_dir)
+    df = kth_threshold_combine(
+        eng, [(qid, " ".join(ts)) for qid, ts in QUERY_SET], k=TOPK,
+        terms_considered=2, d_mult=_COMBINE_D // TOPK)
+    # this corpus's near-saturated-df query terms weight ~1e-6: 6 decimals
+    # keeps the estimates visible (4 would collapse everything to 0.0)
+    df["est_threshold"] = _round_match(df["est_threshold"].to_numpy(), 6)
+    df["true_threshold"] = _round_match(df["true_threshold"].to_numpy(), 6)
+    return df[["qid", "est_threshold", "true_threshold", "safe"]]
+
+
+SQL_KTH_THRESHOLD_COMBINE = f"""WITH {_TF_CTES},
+{_values_queries()},
+w AS (
+    SELECT tf.term, tf.doc_id, {_BM25_WEIGHT_SQL} AS weight
+    FROM tf JOIN df ON tf.term = df.term
+    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+),
+qterms AS (SELECT DISTINCT qid, term FROM q),
+qids AS (SELECT DISTINCT qid FROM q),
+rw AS (
+    SELECT term, doc_id, weight,
+           row_number() OVER (PARTITION BY term
+                              ORDER BY weight DESC, doc_id) AS rn
+    FROM w
+),
+s1 AS (SELECT qt.qid, r.doc_id, r.weight
+       FROM rw r JOIN qterms qt USING (term) WHERE r.rn <= {_COMBINE_D}),
+qpairs AS (
+    SELECT DISTINCT a.qid, a.term AS ta, b.term AS tb
+    FROM qterms a JOIN qterms b ON a.qid = b.qid AND a.term < b.term
+),
+dpairs AS (SELECT DISTINCT ta, tb FROM qpairs),
+pair_doc AS (
+    SELECT p.ta, p.tb, wa.doc_id, wa.weight + wb.weight AS weight
+    FROM dpairs p
+    JOIN w wa ON wa.term = p.ta
+    JOIN w wb ON wb.term = p.tb AND wb.doc_id = wa.doc_id
+),
+rp AS (
+    SELECT ta, tb, doc_id, weight,
+           row_number() OVER (PARTITION BY ta, tb
+                              ORDER BY weight DESC, doc_id) AS rn
+    FROM pair_doc
+),
+s2 AS (SELECT qp.qid, r.doc_id, r.weight
+       FROM rp r JOIN qpairs qp USING (ta, tb) WHERE r.rn <= {_COMBINE_D}),
+pool AS (
+    SELECT qid, doc_id, max(weight) AS cscore
+    FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+    GROUP BY qid, doc_id
+),
+rpool AS (
+    SELECT qid, cscore,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cscore DESC, doc_id) AS rn
+    FROM pool
+),
+estk AS (SELECT qid, cscore AS e FROM rpool WHERE rn = {TOPK}),
+est AS (SELECT qids.qid, COALESCE(e.e, -2.0) AS e
+        FROM qids LEFT JOIN estk e USING (qid)),
+scored_full AS (
+    SELECT qt.qid, w.doc_id, sum(w.weight) AS score
+    FROM qterms qt JOIN w USING (term)
+    GROUP BY qt.qid, w.doc_id
+),
+ranked_full AS (
+    SELECT qid, score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, doc_id) AS rn
+    FROM scored_full
+),
+truek AS (SELECT qid, score AS true_t FROM ranked_full WHERE rn = {TOPK})
+SELECT est.qid,
+       round(est.e, 6) AS est_threshold,
+       round(COALESCE(t.true_t, 0.0), 6) AS true_threshold,
+       (est.e <= COALESCE(t.true_t, 0.0) + 1e-9) AS safe
+FROM est LEFT JOIN truek t USING (qid)"""
+
+
 _SIM_RATE, _SIM_TARGET_O = 0.5, 0.1
 
 
@@ -1754,6 +1845,7 @@ QUERIES.update({
     "kth_threshold_pairs": q_kth_threshold_pairs,
     "kth_threshold_budget": q_kth_threshold_budget,
     "kth_threshold_sampling": q_kth_threshold_sampling,
+    "kth_threshold_combine": q_kth_threshold_combine,
     "threshold_lookup": q_threshold_lookup,
     "kth_threshold_simulator": q_kth_threshold_simulator,
     "taily_thresholds": q_taily_thresholds,
@@ -1766,6 +1858,7 @@ ORACLE_SQL.update({
     "kth_threshold_pairs": SQL_KTH_THRESHOLD_PAIRS,
     "kth_threshold_budget": SQL_KTH_THRESHOLD_BUDGET,
     "kth_threshold_sampling": SQL_KTH_THRESHOLD_SAMPLING,
+    "kth_threshold_combine": SQL_KTH_THRESHOLD_COMBINE,
     "threshold_lookup": SQL_THRESHOLD_LOOKUP,
     "kth_threshold_simulator": SQL_KTH_THRESHOLD_SIMULATOR,
 })

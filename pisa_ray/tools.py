@@ -425,6 +425,85 @@ def kth_threshold_sampling(engine: QueryEngine, queries, *, k: int = 10,
     return pd.DataFrame(rows)
 
 
+def _substructure_doc_topd(engine: QueryEngine, term_ids: Sequence[int],
+                           d: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Top-d (doc_id, score) rows of the scored conjunction over
+    ``term_ids``, ranked by (score desc, doc_id asc) — one cached AND
+    substructure list of the by-docid combine tool
+    (``/root/reference/tools/kth_threshold_combine_did.cpp:346-368``:
+    ``ranked_and_query`` into a ``topk_queue(d)`` per substructure)."""
+    docs, scores = _term_doc_scores(engine, int(term_ids[0]))
+    for tid in term_ids[1:]:
+        d2, s2 = _term_doc_scores(engine, int(tid))
+        common, ia, ib = np.intersect1d(docs, d2, assume_unique=True,
+                                        return_indices=True)
+        docs = common
+        scores = scores[ia] + s2[ib]
+        if len(docs) == 0:
+            break
+    if len(docs) == 0:
+        return docs, scores
+    order = np.lexsort((docs, -scores))[:d]
+    return docs[order], scores[order]
+
+
+def kth_threshold_combine(engine: QueryEngine, queries, *, k: int = 10,
+                          terms_considered: int = 2, d_mult: int = 10
+                          ) -> pd.DataFrame:
+    """By-docid substructure combination — the one algorithmically distinct
+    member of the fork's kth_threshold family
+    (``/root/reference/tools/kth_threshold_combine_did.cpp:182-215,346-390``).
+
+    Where kth_threshold_pairs takes max over substructures of each
+    substructure's OWN k-th best score, this tool unions every
+    substructure's top-d (d = k·d_mult) conjunctive (docid, score) list,
+    scores each docid by its MAX substructure score, and estimates the
+    threshold as the k-th best combined score.  Tighter than max-of-kth
+    whenever the true top-k docs are spread across different substructures
+    (each contributes its best docs to one shared pool).  Still safe: a
+    substructure's AND-score of doc d is a partial sum of d's full
+    disjunctive score, so the pool's k-th best is ≤ the true k-th best.
+    est = -2.0 when the combined pool holds < k docs (the reference's
+    sentinel, ``:211-214``).  Substructures are all term subsets of size
+    1..terms_considered (``getAllPossibleSlicing``, ``:116-147``).
+    Deterministic (score-desc/docid-asc everywhere) → SQL-oracle-able.
+    Returns (qid, est_threshold, true_threshold, safe)."""
+    d = k * d_mult
+    cache: Dict[Tuple[int, ...], Tuple[np.ndarray, np.ndarray]] = {}
+    rows = []
+    for qid, text in queries:
+        term_ids, _ = engine.parse_query(text)
+        pool_docs: List[np.ndarray] = []
+        pool_scores: List[np.ndarray] = []
+        for r in range(1, min(terms_considered, len(term_ids)) + 1):
+            for subset in itertools.combinations(term_ids, r):
+                if subset not in cache:
+                    cache[subset] = _substructure_doc_topd(engine, subset, d)
+                sd, ss = cache[subset]
+                pool_docs.append(sd)
+                pool_scores.append(ss)
+        true = engine.threshold(text, k=k)
+        est = -2.0
+        if pool_docs:
+            alld = np.concatenate(pool_docs)
+            alls = np.concatenate(pool_scores)
+            if len(alld):
+                # per-doc max across substructures: (doc asc, score desc)
+                # then keep the first row of each doc run
+                order = np.lexsort((-alls, alld))
+                alld, alls = alld[order], alls[order]
+                first = np.ones(len(alld), dtype=bool)
+                first[1:] = alld[1:] != alld[:-1]
+                md, ms = alld[first], alls[first]
+                if len(md) >= k:
+                    o = np.lexsort((md, -ms))
+                    est = float(ms[o[k - 1]])
+        rows.append({"qid": qid, "est_threshold": float(est),
+                     "true_threshold": float(true),
+                     "safe": bool(est <= true + 1e-9)})
+    return pd.DataFrame(rows)
+
+
 class _CountingCursor:
     """Cursor wrapper counting scored postings — instrumentation for the
     threshold-lookup pipeline's work accounting."""

@@ -121,6 +121,65 @@ def test_kth_threshold_pairs_safe_and_tighter(toolbox):
     assert list(got) == pytest.approx(want, rel=1e-5)
 
 
+def test_kth_threshold_combine(toolbox):
+    """By-docid combine (kth_threshold_combine_did.cpp): safe, dominates
+    max-of-kth (the shared docid pool never loosens the bound), matches a
+    brute-force oracle recomputation at terms_considered=3 with a small d
+    (exercising the top-d truncation), and emits the -2.0 sentinel when
+    the pool can't fill k."""
+    import itertools
+
+    from pisa_ray.tools import (kth_threshold_combine,
+                                kth_threshold_estimate_multi)
+
+    eng, oracle, out = toolbox
+    queries = [("q1", "thehot term001"), ("q2", "term001 term005 thehot"),
+               ("q3", "term000"), ("q4", "zzz yyy")]
+    k, d = 5, 10
+    combine = kth_threshold_combine(eng, queries, k=k, terms_considered=3,
+                                    d_mult=d // k)
+    assert combine["safe"].all()
+    multi = kth_threshold_estimate_multi(eng, queries, k=k, use_pairs=True,
+                                         use_triples=True)
+    # the pool contains every substructure's top-k docs at >= scores, so
+    # the combined kth is never below any substructure's own kth
+    both = combine["est_threshold"].to_numpy() >= 0
+    assert (combine["est_threshold"].to_numpy()[both]
+            >= multi["est_threshold"].to_numpy()[both] - 1e-9).all()
+
+    def brute(text):
+        toks = text.split()
+        tids = sorted(oracle.term_to_id[t] for t in toks
+                      if t in oracle.term_to_id)
+        pool = {}
+        for r in range(1, min(3, len(tids)) + 1):
+            for sub in itertools.combinations(tids, r):
+                per_doc = None
+                for tid in sub:
+                    m = {doc: float(oracle.bm25_weight(tf, doc,
+                                                       oracle.df[tid]))
+                         for doc, tf in oracle.postings[tid]}
+                    per_doc = (m if per_doc is None else
+                               {doc: s + m[doc]
+                                for doc, s in per_doc.items() if doc in m})
+                topd = sorted(per_doc.items(),
+                              key=lambda kv: (-kv[1], kv[0]))[:d]
+                for doc, s in topd:
+                    pool[doc] = max(pool.get(doc, -np.inf), s)
+        if len(pool) < k:
+            return -2.0
+        return sorted(pool.items(), key=lambda kv: (-kv[1], kv[0]))[k - 1][1]
+
+    for (_, text), est in zip(queries, combine["est_threshold"]):
+        want = brute(text)
+        if want < 0:
+            assert est == want
+        else:
+            assert est == pytest.approx(want, rel=1e-6)
+    # q4 has no indexed terms -> empty pool -> sentinel
+    assert combine["est_threshold"].iloc[3] == -2.0
+
+
 def test_quantized_index(ray_session, tmp_path):
     """Quantized build: freqs hold 8-bit quantized impact scores; the
     quantized scorer reproduces a close top-k (reference: quantized index
