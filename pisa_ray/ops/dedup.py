@@ -205,6 +205,12 @@ def ngram_jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.1,
     cap are skipped (such a shingle carries ~no similarity signal, and an
     uncapped group OOMs one reducer at web scale).  Exactness holds while
     no group exceeds the cap.
+
+    Shingle strings never leave the producing batch: the shuffle carries a
+    128-bit composite hash (two independent-seed xxhash64 columns) instead
+    of raw n-gram text — several-fold fewer exchange bytes at corpus scale.
+    Exact-match semantics hold w.h.p. (a cross-doc 128-bit collision would
+    be needed to miscount one intersection element).
     """
     import pandas as pd
 
@@ -217,11 +223,16 @@ def ngram_jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.1,
             uniq = sorted(set(_word_shingles(t, n)))
             ids.extend([d] * len(uniq))
             shs.extend(uniq)
-        grp = (_stable_u64_column(shs) & np.uint64((1 << 10) - 1)) \
-            .astype(np.int32) if shs else np.empty(0, dtype=np.int32)
+        if shs:
+            lo = _stable_u64_column(shs, seed=11)
+            hi = _stable_u64_column(shs, seed=23)
+        else:
+            lo = hi = np.empty(0, dtype=np.uint64)
+        grp = (lo & np.uint64((1 << 10) - 1)).astype(np.int32)
         return pa.table({
             "doc_id": pa.array(ids, type=pa.int64()),
-            "shingle": pa.array(shs, type=pa.string()),
+            "sh_lo": pa.array(lo, type=pa.uint64()),
+            "sh_hi": pa.array(hi, type=pa.uint64()),
             "grp": pa.array(grp, type=pa.int32()),
         })
 
@@ -234,18 +245,19 @@ def ngram_jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.1,
     sizes_ds = shingles.groupby("doc_id").aggregate(Count(alias_name="n_sh"))
 
     def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        # one coarse hash group; exact shingle runs found with np.unique
-        # (per-SHINGLE map_groups would be one Python call per near-
-        # singleton group)
-        sh = group["shingle"].to_numpy()
+        # one coarse hash group; exact shingle-hash runs found by lexsort
+        # on the 128-bit composite (per-SHINGLE map_groups would be one
+        # Python call per near-singleton group)
+        lo = group["sh_lo"].to_numpy()
+        hi = group["sh_hi"].to_numpy()
         d = group["doc_id"].to_numpy()
-        o = np.argsort(sh, kind="stable")
-        sh, d = sh[o], d[o]
-        new = np.empty(len(sh), dtype=bool)
+        o = np.lexsort((hi, lo))
+        lo, hi, d = lo[o], hi[o], d[o]
+        new = np.empty(len(lo), dtype=bool)
         new[0] = True
-        np.not_equal(sh[1:], sh[:-1], out=new[1:])
+        new[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
         starts = np.flatnonzero(new)
-        sizes = np.diff(np.append(starts, len(sh)))
+        sizes = np.diff(np.append(starts, len(lo)))
         out_a, out_b = [], []
         for s, z in zip(starts[sizes >= 2], sizes[sizes >= 2]):
             if z > max_group_docs:
