@@ -37,7 +37,8 @@ class AnalyzerConfig:
     stopwords: FrozenSet[str] = field(default_factory=frozenset)
     strip_html: bool = False  # apply html_to_text as a text filter first
     # headword / direct-conflation files for the krovetz filter (loaded
-    # once per actor; None -> dictionary-free rule subset)
+    # once per actor; None -> dictionary-free rule subset; "builtin" ->
+    # the shipped curated headword list in analysis/data/)
     kstem_lexicon: Optional[str] = None
     kstem_exceptions: Optional[str] = None
 

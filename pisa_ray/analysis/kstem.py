@@ -159,6 +159,31 @@ _DERIVATIONAL = (
 )
 
 
+_BUILTIN_LEXICON = "builtin"
+_builtin_cache = None
+
+
+def builtin_headwords() -> frozenset:
+    """The shipped ~400-word curated headword list
+    (``analysis/data/kstem_headwords.txt``) — a small public stand-in for
+    Lemur's ~30k table, covering every derivational family plus the
+    first-lookup protection path.  Delta vs Lemur is coverage only:
+    out-of-list words pass through the derivational gate unchanged, which
+    is KStem's behavior for any out-of-dictionary word.  Loaded once per
+    process."""
+    global _builtin_cache
+    if _builtin_cache is None:
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "data",
+                            "kstem_headwords.txt")
+        with open(path, encoding="utf-8") as f:
+            _builtin_cache = frozenset(
+                w.strip() for w in f
+                if w.strip() and not w.startswith("#"))
+    return _builtin_cache
+
+
 class KrovetzStemmer:
     """Lexicon-gated KStem: inflectional rules + derivational steps that
     commit only on a headword hit.  Memoizes per instance (one instance
@@ -173,11 +198,16 @@ class KrovetzStemmer:
 
     @classmethod
     def from_files(cls, lexicon_path=None, exceptions_path=None):
-        """Load ``word`` per line / ``word<TAB>stem`` per line files."""
+        """Load ``word`` per line / ``word<TAB>stem`` per line files.
+        ``lexicon_path="builtin"`` uses the shipped curated headword list
+        (:func:`builtin_headwords`)."""
         lex = None
-        if lexicon_path:
+        if lexicon_path == _BUILTIN_LEXICON:
+            lex = builtin_headwords()
+        elif lexicon_path:
             with open(lexicon_path, encoding="utf-8") as f:
-                lex = {w.strip() for w in f if w.strip()}
+                lex = {w.strip() for w in f
+                       if w.strip() and not w.startswith("#")}
         exc = None
         if exceptions_path:
             exc = {}

@@ -141,3 +141,59 @@ def test_analyzer_kstem_lexicon(tmp_path):
     an = TextAnalyzer(AnalyzerConfig(
         token_filters=("lowercase", "krovetz"), kstem_lexicon=str(lp)))
     assert an.analyze("Creation stories") == ["create", "story"]
+
+
+def test_builtin_headword_list():
+    """The shipped curated headword list gates every derivational family
+    end-to-end with no user data (stand-in for Lemur's 30k table; the
+    delta is coverage only — out-of-list words pass through unchanged)."""
+    from pisa_ray.analysis.kstem import (KrovetzStemmer, builtin_headwords,
+                                         krovetz_stem)
+
+    lex = builtin_headwords()
+    assert len(lex) > 300
+    ks = KrovetzStemmer.from_files("builtin")
+    # one gated commit per derivational family
+    assert ks.stem("readability") == "readable"      # -ability
+    assert ks.stem("possibility") == "possible"      # -ibility
+    assert ks.stem("formality") == "formal"          # -ality
+    assert ks.stem("activity") == "active"           # -ivity
+    assert ks.stem("organization") == "organize"     # -ization
+    assert ks.stem("information") == "inform"        # -ation
+    assert ks.stem("mobility") == "mobile"           # -ility
+    assert ks.stem("sanity") == "sane"               # -ity
+    assert ks.stem("kindness") == "kind"             # -ness
+    assert ks.stem("action") == "act"                # -ion
+    assert ks.stem("easier") == "easy"               # -ier
+    assert ks.stem("writer") == "write"              # -er
+    assert ks.stem("creator") == "create"            # -or
+    assert ks.stem("automatically") == "automatic"   # -ically
+    assert ks.stem("quickly") == "quick"             # -ly
+    assert ks.stem("musical") == "music"             # -ical
+    assert ks.stem("facial") == "face"               # -ial
+    assert ks.stem("factual") == "fact"              # -ual
+    assert ks.stem("refusal") == "refuse"            # -al
+    assert ks.stem("informative") == "inform"        # -ative
+    assert ks.stem("placement") == "place"           # -ment
+    assert ks.stem("idealism") == "ideal"            # -ism
+    assert ks.stem("consistency") == "consistent"    # -ncy
+    assert ks.stem("compliance") == "compliant"      # -nce
+    # inflection chains into the gate: plural stripped first, then the
+    # derivational rewrite commits on the headword
+    assert ks.stem("organizations") == "organize"
+    # first-lookup protection: a headword is never rewritten, even when a
+    # dictionary-free rule would fire
+    assert ks.stem("news") == "news"
+    assert krovetz_stem("news") == "new"
+    # out-of-list words pass through the gate unchanged (the documented
+    # delta vs the full Lemur table)
+    assert ks.stem("diplomacy") == "diplomacy"
+
+
+def test_analyzer_builtin_kstem_lexicon():
+    from pisa_ray.analysis.analyzer import AnalyzerConfig, TextAnalyzer
+
+    an = TextAnalyzer(AnalyzerConfig(
+        token_filters=("lowercase", "krovetz"), kstem_lexicon="builtin"))
+    assert an.analyze("Organizations placement news") == [
+        "organize", "place", "news"]
