@@ -21,33 +21,10 @@ import os as _os
 _os.environ.setdefault("POLARS_MAX_THREADS", "1")
 
 
-def _tune_malloc() -> None:
-    """Keep large numpy buffers on the reused heap instead of mmap.
-
-    The exchange/encode hot paths allocate tens-of-MB numpy arrays per
-    task.  glibc serves those via mmap (they exceed even the 32 MiB
-    dynamic-threshold cap), so every free munmaps and the NEXT task
-    re-faults its whole working set — and on the shared-host microVMs
-    this code targets, first-touch fault handling is the contended
-    resource under many-core concurrency (measured: allocation-heavy
-    stages inflate 4-17x at 32-way).  Raising M_MMAP_THRESHOLD and
-    disabling trim makes a long-lived Ray worker reuse its arena across
-    tasks: pages fault once per worker, not once per task.  Cost: up to
-    ~threshold of retained RSS per worker, fine on the target boxes.
-    Opt out with PISA_RAY_NO_MALLOC_TUNE=1."""
-    if _os.environ.get("PISA_RAY_NO_MALLOC_TUNE"):
-        return
-    try:
-        import ctypes
-        libc = ctypes.CDLL(None, use_errno=True)
-        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
-        libc.mallopt(M_MMAP_THRESHOLD, 1 << 28)   # 256 MiB
-        libc.mallopt(M_TRIM_THRESHOLD, 1 << 28)
-    except (OSError, AttributeError):  # non-glibc platform
-        pass
-
-
-_tune_malloc()
-
+# malloc arena tuning (M_MMAP_THRESHOLD / M_TRIM_THRESHOLD) is NOT an
+# import side effect: it retains up to ~256 MiB RSS per arena, which the
+# driver, tests and library consumers shouldn't pay.  Hot-path worker
+# setup calls pisa_ray.utils.ensure_malloc_tuned() instead (analyzer
+# cache, alloc_array).
 
 __version__ = "0.1.0"

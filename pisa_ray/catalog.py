@@ -1635,6 +1635,13 @@ SELECT est.qid,
 FROM est LEFT JOIN truek t USING (qid)"""
 
 
+# keep the sampled rank interpolated from (TOPK, rate) — the engine
+# computes k' = max(1, ceil(k·rate)); a literal here would silently
+# desync the oracle if either knob changed
+_SAMPLING_RATE = 0.5
+_SAMPLING_KPRIME = max(1, int(np.ceil(TOPK * _SAMPLING_RATE)))
+
+
 def q_kth_threshold_sampling(sf_dir: str) -> pd.DataFrame:
     """Hash-sampled threshold estimation (rate 0.5, k' = ⌈k·rate⌉)."""
     from pisa_ray.tools import kth_threshold_sampling
@@ -1642,7 +1649,7 @@ def q_kth_threshold_sampling(sf_dir: str) -> pd.DataFrame:
     eng = _engine(sf_dir)
     df = kth_threshold_sampling(
         eng, [(qid, " ".join(ts)) for qid, ts in QUERY_SET], k=TOPK,
-        rate=0.5)
+        rate=_SAMPLING_RATE)
     df["est_threshold"] = _round_match(df["est_threshold"].to_numpy(), 4)
     df["true_threshold"] = _round_match(df["true_threshold"].to_numpy(), 4)
     return df
@@ -1661,7 +1668,8 @@ ranked_s AS (
                               ORDER BY weight DESC, doc_id) AS rn
     FROM sampled
 ),
-kthsamp AS (SELECT term, weight AS kth FROM ranked_s WHERE rn = 5),
+kthsamp AS (SELECT term, weight AS kth FROM ranked_s
+            WHERE rn = {_SAMPLING_KPRIME}),
 est1 AS (SELECT qt.qid, max(k1.kth) AS e
          FROM qterms qt LEFT JOIN kthsamp k1 ON k1.term = qt.term
          GROUP BY qt.qid),

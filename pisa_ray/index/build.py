@@ -290,6 +290,9 @@ def analyze_count_tokens(batch: pa.Table, *, config: AnalyzerConfig,
     key = (config, text_col, id_col, url_col, html_col, url_to_doc_ref)
     worker = _ANALYZER_CACHE.get(key)
     if worker is None:
+        from pisa_ray.utils import ensure_malloc_tuned
+
+        ensure_malloc_tuned()  # worker hot path; not an import side effect
         worker = AnalyzeCountTokens(config, text_col, id_col, url_col,
                                     html_col, url_to_doc_ref)
         _ANALYZER_CACHE[key] = worker

@@ -436,12 +436,89 @@ def _emit_bucket_pairs(group) -> "pa.Table":
                          "b": np.concatenate(out_b)})
 
 
+def _empty_doc_pairs(ds, *, n: int, text_col: str, id_col: str,
+                     lowercase: bool = True, score_col: str = "est_jaccard"):
+    """Exact-duplicate pairs among SHINGLE-LESS docs (empty or
+    whitespace-only text): MinHash is undefined on an empty shingle set, so the
+    minhash ops cannot see them — but two IDENTICAL token-less documents
+    are trivially exact duplicates, and a training-data dedup that
+    silently misses them is wrong.  Routes them through exact-dedup
+    semantics: group by the 128-bit hash of the normalized text (distinct
+    short texts never pair) and emit (representative=min doc_id, other)
+    rows — LINEAR per group, never the quadratic all-pairs.  Returns
+    (doc_a, doc_b, <score_col>=1.0); None shape matches the minhash ops'
+    pair schema for a lazy union."""
+    import pandas as pd
+
+    def empties(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        keep_ids, keep_txt = [], []
+        for d, t in zip(ids, texts):
+            t = (t or "")
+            if lowercase:
+                t = t.lower()
+            if not _word_shingles(t, n):
+                keep_ids.append(d)
+                keep_txt.append(t)
+        if keep_txt:
+            h1 = _stable_u64_column(keep_txt, seed=11)
+            h2 = _stable_u64_column(keep_txt, seed=23)
+        else:
+            h1 = h2 = np.empty(0, dtype=np.uint64)
+        grp = (h1 & np.uint64((1 << 10) - 1)).astype(np.int32)
+        return pa.table({
+            "doc_id": pa.array(keep_ids, type=pa.int64()),
+            "h1": pa.array(h1, type=pa.uint64()),
+            "h2": pa.array(h2, type=pa.uint64()),
+            "grp": pa.array(grp, type=pa.int32()),
+        })
+
+    def emit(group: pd.DataFrame) -> pd.DataFrame:
+        h1 = group["h1"].to_numpy()
+        h2 = group["h2"].to_numpy()
+        d = group["doc_id"].to_numpy()
+        o = np.lexsort((d, h2, h1))
+        h1, h2, d = h1[o], h2[o], d[o]
+        new = np.empty(len(h1), dtype=bool)
+        new[0] = True
+        new[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(h1)))
+        oa, ob = [], []
+        for s, z in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+            oa.append(np.full(z - 1, d[s], dtype=np.int64))
+            ob.append(d[s + 1: s + z])
+        if not oa:
+            return pd.DataFrame({
+                "doc_a": pd.Series([], dtype=np.int64),
+                "doc_b": pd.Series([], dtype=np.int64),
+                score_col: pd.Series([], dtype=np.float64)})
+        a = np.concatenate(oa)
+        return pd.DataFrame({"doc_a": a, "doc_b": np.concatenate(ob),
+                             score_col: np.ones(len(a), dtype=np.float64)})
+
+    return (ds.map_batches(empties, batch_format="pyarrow")
+            .groupby("grp").map_groups(emit, batch_format="pandas"))
+
+
 def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16, n: int = 3,
                       seed: int = 7, text_col: str = "text",
                       id_col: str = "doc_id", verify_threshold: float = 0.5,
-                      verify_mode: str = "carry", hash_fn: str = "xx"):
+                      verify_mode: str = "carry", hash_fn: str = "xx",
+                      empty_docs: str = "drop"):
     """MinHash-LSH near-dup pairs, verified by signature similarity
     (fraction of equal components ≥ τ).
+
+    ``empty_docs``: MinHash is undefined on an empty shingle set, so
+    SHINGLE-LESS docs (empty or whitespace-only text; short non-empty
+    texts still get one whole-text shingle) are EXCLUDED from candidate
+    generation — ``"drop"`` (default, and
+    what the SQL oracle computes) omits them from the output entirely;
+    ``"exact"`` additionally emits (representative, other, 1.0) pairs for
+    groups of IDENTICAL normalized token-less texts (exact-dedup
+    semantics, see :func:`_empty_doc_pairs`) so the dedup capability
+    doesn't silently miss them.
 
     ``verify_mode="carry"`` (default): the packed signature rides through
     the banding shuffle, so candidate emission AND verification happen
@@ -461,10 +538,20 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16, n: int = 3,
     import pandas as pd
 
     assert num_perm % bands == 0
+    if empty_docs not in ("drop", "exact"):
+        raise ValueError(f"empty_docs must be 'drop' or 'exact', "
+                         f"got {empty_docs!r}")
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(ds, num_perm=num_perm, n=n, seed=seed,
                               text_col=text_col, id_col=id_col,
                               hash_fn=hash_fn)
+
+    def _with_empties(pairs_ds):
+        if empty_docs != "exact":
+            return pairs_ds
+        return pairs_ds.union(_empty_doc_pairs(
+            ds, n=n, text_col=text_col, id_col=id_col,
+            score_col="est_jaccard"))
 
     if verify_mode == "carry":
         def band_sig_rows(batch: pa.Table) -> pa.Table:
@@ -556,8 +643,8 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16, n: int = 3,
         # first-collision emission above makes pairs globally unique —
         # two distributed ops total (banding map → bucket groupby), no
         # distinct-aggregate shuffle of the candidate pairs
-        return banded.groupby("grp").map_groups(
-            emit_verified, batch_format="pandas")
+        return _with_empties(banded.groupby("grp").map_groups(
+            emit_verified, batch_format="pandas"))
 
     banded = sigs.map_batches(_band_rows_fn(bands, rows_per_band),
                               batch_format="pyarrow")
@@ -586,6 +673,13 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16, n: int = 3,
                         num_partitions=JOIN_PARTITIONS,
                         on=("a",), right_on=("doc_id",))
     withsig = withsig.rename_columns({"sigb": "sig_a"})
+    # same degenerate-empty-partition hazard as minhash_jaccard_dups:
+    # chained joins die on the key+right-only blocks an empty partition
+    # emits when the candidate set is small
+    withsig = drop_empty_blocks(withsig, pa.table({
+        "a": pa.array([], type=pa.int64()),
+        "b": pa.array([], type=pa.int64()),
+        "sig_a": pa.array([], type=pa.binary())}))
     withsig = withsig.join(sigb, join_type="inner",
                            num_partitions=JOIN_PARTITIONS,
                            on=("b",), right_on=("doc_id",))
@@ -612,12 +706,13 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16, n: int = 3,
                                     type=pa.float64()),
         })
 
-    return withsig.map_batches(verify, batch_format="pyarrow")
+    return _with_empties(withsig.map_batches(verify, batch_format="pyarrow"))
 
 
 def minhash_jaccard_dups(ds, *, num_perm: int = 64, bands: int = 16,
                          n: int = 3, seed: int = 7, text_col: str = "text",
-                         id_col: str = "doc_id", threshold: float = 0.9):
+                         id_col: str = "doc_id", threshold: float = 0.9,
+                         empty_docs: str = "drop"):
     """Near-duplicate pairs with EXACT word-n-gram Jaccard ≥ τ, found via
     MinHash-LSH candidates and verified exactly against the document text.
 
@@ -625,10 +720,26 @@ def minhash_jaccard_dups(ds, *, num_perm: int = 64, bands: int = 16,
     misses every band is ≤ ~1e-7, so the output equals the exhaustive
     exact-Jaccard pair set w.h.p. — which is what the SQL oracle computes.
     The verify joins candidate pairs back to the document text (text ships
-    only for candidates, never broadcast)."""
+    only for candidates, never broadcast).
+
+    ``empty_docs``: shingle-less docs (empty or whitespace-only text)
+    have undefined Jaccard and are EXCLUDED under ``"drop"`` (default,
+    oracle-matching); ``"exact"`` emits (representative, other, 1.0)
+    pairs for identical normalized token-less texts (exact-dedup
+    semantics) so they aren't silently missed."""
+    if empty_docs not in ("drop", "exact"):
+        raise ValueError(f"empty_docs must be 'drop' or 'exact', "
+                         f"got {empty_docs!r}")
     pairs = minhash_lsh_pairs(ds, num_perm=num_perm, bands=bands, n=n,
                               seed=seed, text_col=text_col, id_col=id_col,
                               verify_threshold=0.0)
+    # the carry-mode map_groups emits empty frames for pair-less groups;
+    # those schema-less blocks kill the Arrow hash join below when the
+    # candidate set is tiny
+    pairs = drop_empty_blocks(pairs, pa.table({
+        "doc_a": pa.array([], type=pa.int64()),
+        "doc_b": pa.array([], type=pa.int64()),
+        "est_jaccard": pa.array([], type=pa.float64())}))
     docs = ds.map_batches(
         lambda t: pa.table({"doc_id": pc.cast(t[id_col], pa.int64()),
                             "_text": t[text_col]}),
@@ -636,9 +747,24 @@ def minhash_jaccard_dups(ds, *, num_perm: int = 64, bands: int = 16,
     wp = pairs.join(docs, join_type="inner", num_partitions=JOIN_PARTITIONS,
                     on=("doc_a",), right_on=("doc_id",))
     wp = wp.rename_columns({"_text": "text_a"})
+    # empty join partitions emit blocks with a degenerate key+right-side
+    # schema; the NEXT join dies on them ("no match … for doc_b on left
+    # side") when the candidate set is small — rebuild from non-empty
+    # blocks (candidate pairs only, cheap)
+    wp = drop_empty_blocks(wp, pa.table({
+        "doc_a": pa.array([], type=pa.int64()),
+        "doc_b": pa.array([], type=pa.int64()),
+        "est_jaccard": pa.array([], type=pa.float64()),
+        "text_a": pa.array([], type=pa.string())}))
     wp = wp.join(docs, join_type="inner", num_partitions=JOIN_PARTITIONS,
                  on=("doc_b",), right_on=("doc_id",))
     wp = wp.rename_columns({"_text": "text_b"})
+    wp = drop_empty_blocks(wp, pa.table({
+        "doc_a": pa.array([], type=pa.int64()),
+        "doc_b": pa.array([], type=pa.int64()),
+        "est_jaccard": pa.array([], type=pa.float64()),
+        "text_a": pa.array([], type=pa.string()),
+        "text_b": pa.array([], type=pa.string())}))
 
     def exact_verify(batch: pa.Table) -> pa.Table:
         out_a, out_b, out_j = [], [], []
@@ -662,7 +788,12 @@ def minhash_jaccard_dups(ds, *, num_perm: int = 64, bands: int = 16,
                                 type=pa.float64()),
         })
 
-    return wp.map_batches(exact_verify, batch_format="pyarrow")
+    verified = wp.map_batches(exact_verify, batch_format="pyarrow")
+    if empty_docs == "exact":
+        verified = verified.union(_empty_doc_pairs(
+            ds, n=n, text_col=text_col, id_col=id_col,
+            score_col="jaccard"))
+    return verified
 
 
 # ---------------------------------------------------------------------------

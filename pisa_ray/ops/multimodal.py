@@ -120,11 +120,26 @@ def decode_ppm(data: bytes) -> np.ndarray:
         while pos < len(data) and not data[pos:pos + 1].isspace():
             pos += 1
         fields.append(int(data[start:pos]))
-    pos += 1  # single whitespace after maxval
+    # exactly ONE whitespace byte separates maxval from the raster; a
+    # "\r\n"-terminated header (some Windows tools) would silently shift
+    # the pixel offset — validate the byte, detect the unambiguous CRLF
+    # case by length, and verify the raster length before frombuffer
+    ws = data[pos:pos + 1]
+    if not ws.isspace():
+        raise ValueError("PPM/PGM header: expected whitespace after maxval")
+    pos += 1
     w, h, maxval = fields
     if maxval > 255:
         raise ValueError("16-bit PPM unsupported")
     nch = 3 if rgb else 1
+    need = w * h * nch
+    if (ws == b"\r" and data[pos:pos + 1] == b"\n"
+            and len(data) - pos == need + 1):
+        pos += 1  # CRLF separator: exactly one surplus byte, skip the LF
+    if len(data) - pos < need:
+        raise ValueError(
+            "PPM/PGM raster truncated: need "
+            f"{need} bytes, have {len(data) - pos}")
     img = np.frombuffer(data, dtype=np.uint8, count=w * h * nch, offset=pos)
     return img.reshape((h, w, 3) if rgb else (h, w)).copy()
 

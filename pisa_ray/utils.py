@@ -61,6 +61,42 @@ def sorted_with_rank(
 
 _MAP_POPULATE = 0x8000  # linux mmap flag
 
+_malloc_tuned = False
+
+
+def ensure_malloc_tuned() -> None:
+    """Keep large numpy buffers on the reused heap instead of mmap —
+    called from hot-path WORKER setup (analyzer cache, ``alloc_array``),
+    NOT at import time, so the driver, tests and library consumers don't
+    inherit up to ~256 MiB of retained RSS per arena as a side effect.
+
+    The exchange/encode hot paths allocate tens-of-MB numpy arrays per
+    task.  glibc serves those via mmap (they exceed even the 32 MiB
+    dynamic-threshold cap), so every free munmaps and the NEXT task
+    re-faults its whole working set — and on the shared-host microVMs
+    this code targets, first-touch fault handling is the contended
+    resource under many-core concurrency (measured: allocation-heavy
+    stages inflate 4-17x at 32-way).  Raising M_MMAP_THRESHOLD and
+    disabling trim makes a long-lived Ray worker reuse its arena across
+    tasks: pages fault once per worker, not once per task.  Idempotent;
+    opt out with PISA_RAY_NO_MALLOC_TUNE=1."""
+    global _malloc_tuned
+    if _malloc_tuned:
+        return
+    _malloc_tuned = True
+    import os
+
+    if os.environ.get("PISA_RAY_NO_MALLOC_TUNE"):
+        return
+    try:
+        import ctypes
+        libc = ctypes.CDLL(None, use_errno=True)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 28)   # 256 MiB
+        libc.mallopt(M_TRIM_THRESHOLD, 1 << 28)
+    except (OSError, AttributeError):  # non-glibc platform
+        pass
+
 
 def alloc_array(n: int, dtype, populate_min_bytes: int = 1 << 22) -> np.ndarray:
     """Allocate a length-``n`` array with pages PRE-POPULATED in one
@@ -73,9 +109,10 @@ def alloc_array(n: int, dtype, populate_min_bytes: int = 1 << 22) -> np.ndarray:
     take 0.27 s (116x; measured 2026-08-17).  Every multi-MB scratch or
     output buffer in a hot task should come from here.  Small requests
     (< ``populate_min_bytes``) and non-Linux platforms fall back to
-    ``np.empty`` (glibc reuse — see ``pisa_ray._tune_malloc`` — makes
+    ``np.empty`` (glibc reuse — see :func:`ensure_malloc_tuned` — makes
     small churn cheap).  Contents are uninitialized from the caller's
     perspective (kernel-zeroed)."""
+    ensure_malloc_tuned()
     dtype = np.dtype(dtype)
     nbytes = int(n) * dtype.itemsize
     if nbytes < populate_min_bytes:

@@ -301,6 +301,18 @@ def test_image_decode_real_kernels():
     rz = resize_nearest(img, 10, 14)
     assert rz.shape == (10, 14, 3)
     assert np.array_equal(rz[::2, ::2], img)  # 2x upsample keeps originals
+    # CRLF-terminated header (some Windows tools): detected by the exact
+    # one-surplus-byte signature, decodes identically
+    ppm_crlf = b"P6\n7 5\n255\r\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(ppm_crlf), img)
+    # truncated raster / non-whitespace after maxval raise, never decode
+    # silently-corrupt pixels
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n7 5\n255\n" + img.tobytes()[:-3])
+    with pytest.raises(ValueError, match="whitespace"):
+        decode_ppm(b"P6\n7 5\n255")  # header ends at maxval, no separator
+    with pytest.raises(ValueError):  # junk fused into the maxval field
+        decode_ppm(b"P6\n7 5\n255" + img.tobytes())
 
 
 def test_image_decode_real_pipeline(ray_session):
@@ -534,3 +546,40 @@ def test_minhash_tokenless_docs_carry_no_signature(ray_session):
     assert set(sigs["doc_id"]) == {2, 3}
     pairs = minhash_lsh_pairs(ds, verify_threshold=0.5).to_pandas()
     assert set(zip(pairs["doc_a"], pairs["doc_b"])) == {(2, 3)}
+
+
+def test_minhash_empty_docs_exact_mode(ray_session):
+    """empty_docs="exact": IDENTICAL normalized token-less texts pair via
+    exact-dedup semantics (representative=min id -> others, score 1.0);
+    DISTINCT short texts never pair; defaults unchanged ("drop")."""
+    import ray.data
+
+    from pisa_ray.ops.dedup import minhash_jaccard_dups, minhash_lsh_pairs
+
+    texts = ["", "", "   ",               # 0,1 identical empty; 2 whitespace
+             "\t\n",                      # 3: whitespace-only, != 2's text
+             "alpha beta gamma delta",    # 4
+             "alpha beta gamma delta"]    # 5
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    }))
+    # default drops token-less docs entirely
+    default = minhash_lsh_pairs(ds, verify_threshold=0.5).to_pandas()
+    assert set(zip(default["doc_a"], default["doc_b"])) == {(4, 5)}
+    got = minhash_lsh_pairs(ds, verify_threshold=0.5,
+                            empty_docs="exact").to_pandas()
+    # (0,1) identical empties pair; 2 and 3 are DISTINCT whitespace texts
+    # and pair with nothing
+    assert set(zip(got["doc_a"], got["doc_b"])) == {(0, 1), (4, 5)}
+    assert (got.set_index(["doc_a", "doc_b"])
+            .loc[(0, 1), "est_jaccard"]) == 1.0
+    # regression: tiny candidate sets used to kill the chained joins
+    # (empty join partitions emit degenerate key+right-only blocks)
+    base = minhash_jaccard_dups(ds, threshold=0.9).to_pandas()
+    assert set(zip(base["doc_a"], base["doc_b"])) == {(4, 5)}
+    dups = minhash_jaccard_dups(ds, threshold=0.9,
+                                empty_docs="exact").to_pandas()
+    assert set(zip(dups["doc_a"], dups["doc_b"])) == {(0, 1), (4, 5)}
+    with pytest.raises(ValueError, match="empty_docs"):
+        minhash_lsh_pairs(ds, empty_docs="bogus")
