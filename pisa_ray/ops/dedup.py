@@ -75,6 +75,11 @@ def _check_hash_canary() -> None:
     global _HASH_CANARY_DONE
     if _HASH_CANARY_DONE:
         return
+    # first stable-hash use in a worker = the dedup/similarity/textstats
+    # hot path is about to allocate; tune the arena here (idempotent)
+    from pisa_ray.utils import ensure_malloc_tuned
+
+    ensure_malloc_tuned()
     import polars as pl
 
     got = pl.Series(["pisa-ray-canary"]).hash(seed=11).to_numpy()

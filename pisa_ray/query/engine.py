@@ -38,6 +38,9 @@ class QueryEngine:
                  score_dtype: Optional[str] = None,
                  analyzer: Optional[AnalyzerConfig] = None,
                  doc_range: Optional[Tuple[int, int]] = None):
+        from pisa_ray.utils import ensure_malloc_tuned
+
+        ensure_malloc_tuned()  # serving actors allocate per-query scratch
         self.index = InvertedIndex(index_dir, doc_range=doc_range)
         cfg = self.index.config
         # A quantized index stores precomputed impacts, not term frequencies;
