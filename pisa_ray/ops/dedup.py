@@ -289,6 +289,13 @@ def ngram_jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.1,
                        num_partitions=JOIN_PARTITIONS,
                        on=("a",), right_on=("doc_id",), right_suffix="_a")
     inter = inter.rename_columns({"n_sh": "n_a"})
+    # empty join partitions emit degenerate key+right-only blocks that
+    # kill the next join's key resolution when the candidate set is small
+    inter = drop_empty_blocks(inter, pa.table({
+        "a": pa.array([], type=pa.int64()),
+        "b": pa.array([], type=pa.int64()),
+        "inter": pa.array([], type=pa.int64()),
+        "n_a": pa.array([], type=pa.int64())}))
     inter = inter.join(sizes_ds, join_type="inner",
                        num_partitions=JOIN_PARTITIONS,
                        on=("b",), right_on=("doc_id",), right_suffix="_b")
