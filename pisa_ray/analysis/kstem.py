@@ -179,8 +179,8 @@ def builtin_headwords() -> frozenset:
                             "kstem_headwords.txt")
         with open(path, encoding="utf-8") as f:
             _builtin_cache = frozenset(
-                w.strip() for w in f
-                if w.strip() and not w.startswith("#"))
+                s for s in (w.strip() for w in f)
+                if s and not s.startswith("#"))
     return _builtin_cache
 
 
@@ -206,8 +206,8 @@ class KrovetzStemmer:
             lex = builtin_headwords()
         elif lexicon_path:
             with open(lexicon_path, encoding="utf-8") as f:
-                lex = {w.strip() for w in f
-                       if w.strip() and not w.startswith("#")}
+                lex = {s for s in (w.strip() for w in f)
+                       if s and not s.startswith("#")}
         exc = None
         if exceptions_path:
             exc = {}

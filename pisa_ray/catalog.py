@@ -1683,8 +1683,11 @@ FROM est LEFT JOIN truek t USING (qid)"""
 
 
 # by-docid combine: every substructure's top-d conjunctive list feeds one
-# shared docid pool scored by per-doc MAX (kth_threshold_combine_did.cpp)
-_COMBINE_D = TOPK * 10
+# shared docid pool scored by per-doc MAX (kth_threshold_combine_did.cpp).
+# d is DERIVED from (TOPK, multiplier) so the tool's d_mult and the SQL's
+# rn <= d can never desync (same discipline as _SAMPLING_KPRIME)
+_COMBINE_D_MULT = 10
+_COMBINE_D = TOPK * _COMBINE_D_MULT
 
 
 def q_kth_threshold_combine(sf_dir: str) -> pd.DataFrame:
@@ -1696,7 +1699,7 @@ def q_kth_threshold_combine(sf_dir: str) -> pd.DataFrame:
     eng = _engine(sf_dir)
     df = kth_threshold_combine(
         eng, [(qid, " ".join(ts)) for qid, ts in QUERY_SET], k=TOPK,
-        terms_considered=2, d_mult=_COMBINE_D // TOPK)
+        terms_considered=2, d_mult=_COMBINE_D_MULT)
     # this corpus's near-saturated-df query terms weight ~1e-6: 6 decimals
     # keeps the estimates visible (4 would collapse everything to 0.0)
     df["est_threshold"] = _round_match(df["est_threshold"].to_numpy(), 6)

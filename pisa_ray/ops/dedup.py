@@ -35,8 +35,8 @@ from pisa_ray.utils import round_half_away
 JOIN_PARTITIONS = 8
 
 
-def drop_empty_blocks(ds, empty: "pa.Table"):
-    """Rebuild ``ds`` from its non-empty blocks only (refs, not data).
+def materialize_nonempty(ds, empty: "pa.Table"):
+    """Rebuild ``ds`` from its non-empty blocks only → (dataset, n_rows).
 
     Ray Data passes EMPTY blocks through ``map_batches`` untransformed, so
     a pipeline whose ``map_groups`` emitted empty frames for some groups
@@ -44,19 +44,29 @@ def drop_empty_blocks(ds, empty: "pa.Table"):
     where Arrow dies with "No match or multiple matches for key field …".
     Candidate-pair sets are tiny relative to the corpus (ids only), so the
     materialize is cheap and the rebuild ships object refs, never rows.
-    ``empty`` supplies the canonical typed table when every block is empty.
-    """
+    ``empty`` supplies the canonical typed table when every block is empty
+    — but Ray's hash join rejects even a correctly-typed ALL-EMPTY input,
+    so join-chain callers must short-circuit on ``n_rows == 0`` instead of
+    joining the fallback (the reason this variant returns the count)."""
     import ray
     import ray.data
 
     m = ds.materialize()
-    refs = [bref
-            for bundle in m.iter_internal_ref_bundles()
-            for bref, meta in bundle.blocks
-            if meta.num_rows]
+    refs, rows = [], 0
+    for bundle in m.iter_internal_ref_bundles():
+        for bref, meta in bundle.blocks:
+            if meta.num_rows:
+                refs.append(bref)
+                rows += meta.num_rows
     if not refs:
-        return ray.data.from_arrow(empty)
-    return ray.data.from_arrow_refs(refs)
+        return ray.data.from_arrow(empty), 0
+    return ray.data.from_arrow_refs(refs), rows
+
+
+def drop_empty_blocks(ds, empty: "pa.Table"):
+    """:func:`materialize_nonempty` without the count — for call sites
+    where downstream handles an all-empty dataset (no hash join next)."""
+    return materialize_nonempty(ds, empty)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -280,10 +290,19 @@ def ngram_jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.1,
     pairs = shingles.groupby("grp").map_groups(
         emit_pairs, batch_format="pandas")
     inter = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="inter"))
-    inter = drop_empty_blocks(inter, pa.table({
+    inter, n_cand = materialize_nonempty(inter, pa.table({
         "a": pa.array([], type=pa.int64()),
         "b": pa.array([], type=pa.int64()),
         "inter": pa.array([], type=pa.int64())}))
+    if n_cand == 0:
+        # Ray's hash join rejects an all-empty input even with a typed
+        # schema — zero candidates means zero output, return it directly
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+            "jaccard": pa.array([], type=pa.float64())}))
 
     inter = inter.join(sizes_ds, join_type="inner",
                        num_partitions=JOIN_PARTITIONS,
@@ -468,11 +487,12 @@ def _empty_doc_pairs(ds, *, n: int, text_col: str, id_col: str,
         keep_ids, keep_txt = [], []
         for d, t in zip(ids, texts):
             t = (t or "")
-            if lowercase:
-                t = t.lower()
-            if not _word_shingles(t, n):
+            # shingle-less <=> token-less: _word_shingles returns [] iff
+            # text.split() is empty, so no shingle strings are built in
+            # this whole-corpus scan; normalize only the few kept texts
+            if not t.split():
                 keep_ids.append(d)
-                keep_txt.append(t)
+                keep_txt.append(t.lower() if lowercase else t)
         if keep_txt:
             h1 = _stable_u64_column(keep_txt, seed=11)
             h2 = _stable_u64_column(keep_txt, seed=23)
@@ -669,6 +689,19 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16, n: int = 3,
 
     uniq = pairs.groupby(["a", "b"]).aggregate(
         Count(alias_name="_n")).drop_columns(["_n"])
+    uniq, n_cand = materialize_nonempty(uniq, pa.table({
+        "a": pa.array([], type=pa.int64()),
+        "b": pa.array([], type=pa.int64())}))
+    _empty_pairs = pa.table({
+        "doc_a": pa.array([], type=pa.int64()),
+        "doc_b": pa.array([], type=pa.int64()),
+        "est_jaccard": pa.array([], type=pa.float64())})
+    if n_cand == 0:
+        # zero candidates: the verify joins cannot run on an all-empty
+        # input — short-circuit (empty_docs='exact' pairs still union in)
+        import ray.data
+
+        return _with_empties(ray.data.from_arrow(_empty_pairs))
 
     # join payloads must be binary, not list<u64> (Arrow's hash join
     # rejects list non-key fields) — pack each signature to bytes
@@ -747,11 +780,24 @@ def minhash_jaccard_dups(ds, *, num_perm: int = 64, bands: int = 16,
                               verify_threshold=0.0)
     # the carry-mode map_groups emits empty frames for pair-less groups;
     # those schema-less blocks kill the Arrow hash join below when the
-    # candidate set is tiny
-    pairs = drop_empty_blocks(pairs, pa.table({
+    # candidate set is tiny — and the join rejects an ALL-empty input
+    # outright, so zero candidates short-circuits the text-verify chain
+    pairs, n_cand = materialize_nonempty(pairs, pa.table({
         "doc_a": pa.array([], type=pa.int64()),
         "doc_b": pa.array([], type=pa.int64()),
         "est_jaccard": pa.array([], type=pa.float64())}))
+    if n_cand == 0:
+        import ray.data
+
+        verified = ray.data.from_arrow(pa.table({
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+            "jaccard": pa.array([], type=pa.float64())}))
+        if empty_docs == "exact":
+            verified = verified.union(_empty_doc_pairs(
+                ds, n=n, text_col=text_col, id_col=id_col,
+                score_col="jaccard"))
+        return verified
     docs = ds.map_batches(
         lambda t: pa.table({"doc_id": pc.cast(t[id_col], pa.int64()),
                             "_text": t[text_col]}),

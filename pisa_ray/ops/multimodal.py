@@ -133,9 +133,15 @@ def decode_ppm(data: bytes) -> np.ndarray:
         raise ValueError("16-bit PPM unsupported")
     nch = 3 if rgb else 1
     need = w * h * nch
+    # a "\r" followed by "\n" is a CRLF-terminated header (Windows
+    # writers) whenever skipping the LF still leaves a full raster; a
+    # bare-\r separator with a raster that happens to START with 0x0A is
+    # the only layout this misreads, and only when trailing bytes also
+    # exist — PPM writers use "\n" or "\r\n", never bare "\r", so CRLF
+    # wins the ambiguity
     if (ws == b"\r" and data[pos:pos + 1] == b"\n"
-            and len(data) - pos == need + 1):
-        pos += 1  # CRLF separator: exactly one surplus byte, skip the LF
+            and len(data) - pos - 1 >= need):
+        pos += 1
     if len(data) - pos < need:
         raise ValueError(
             "PPM/PGM raster truncated: need "

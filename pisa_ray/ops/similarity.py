@@ -369,15 +369,23 @@ def _cosine_pairs_blocked(ds, threshold: float, plan: tuple, seed: int,
         _emit_bucket_pairs, batch_format="pandas")
     from ray.data.aggregate import Count
 
-    from pisa_ray.ops.dedup import drop_empty_blocks
+    from pisa_ray.ops.dedup import drop_empty_blocks, materialize_nonempty
 
     uniq = pairs.groupby(["a", "b"]).aggregate(
         Count(alias_name="_n")).drop_columns(["_n"])
     # empty map_groups outputs produce schema-less blocks that kill the
-    # Arrow hash join below (see drop_empty_blocks)
-    uniq = drop_empty_blocks(uniq, pa.table({
+    # Arrow hash join below; an ALL-empty candidate set can't be joined
+    # at all (Ray's hash join rejects it) — short-circuit to zero rows
+    uniq, n_cand = materialize_nonempty(uniq, pa.table({
         "a": pa.array([], type=pa.int64()),
         "b": pa.array([], type=pa.int64())}))
+    if n_cand == 0:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "vec_a": pa.array([], type=pa.int64()),
+            "vec_b": pa.array([], type=pa.int64()),
+            "sim": pa.array([], type=pa.float64())}))
 
     wp = uniq.join(vecs, join_type="inner", num_partitions=JOIN_PARTITIONS,
                    on=("a",), right_on=(id_col,))

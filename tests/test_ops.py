@@ -301,10 +301,11 @@ def test_image_decode_real_kernels():
     rz = resize_nearest(img, 10, 14)
     assert rz.shape == (10, 14, 3)
     assert np.array_equal(rz[::2, ::2], img)  # 2x upsample keeps originals
-    # CRLF-terminated header (some Windows tools): detected by the exact
-    # one-surplus-byte signature, decodes identically
+    # CRLF-terminated header (some Windows tools): the LF is skipped
+    # whenever a full raster remains — including with trailing bytes
     ppm_crlf = b"P6\n7 5\n255\r\n" + img.tobytes()
     assert np.array_equal(decode_ppm(ppm_crlf), img)
+    assert np.array_equal(decode_ppm(ppm_crlf + b"\n"), img)
     # truncated raster / non-whitespace after maxval raise, never decode
     # silently-corrupt pixels
     with pytest.raises(ValueError, match="truncated"):
@@ -583,3 +584,41 @@ def test_minhash_empty_docs_exact_mode(ray_session):
     assert set(zip(dups["doc_a"], dups["doc_b"])) == {(0, 1), (4, 5)}
     with pytest.raises(ValueError, match="empty_docs"):
         minhash_lsh_pairs(ds, empty_docs="bogus")
+
+
+def test_zero_candidate_corpora_return_empty(ray_session):
+    """Regression: with NO duplicate pairs at all, every dedup/near-dup
+    pipeline must return a typed empty frame — Ray's hash join rejects an
+    all-empty input even with a correct schema, so the chains
+    short-circuit on a zero candidate count instead of joining."""
+    import ray.data
+
+    from pisa_ray.ops.dedup import (minhash_jaccard_dups, minhash_lsh_pairs,
+                                    ngram_jaccard_pairs)
+    from pisa_ray.ops.similarity import cosine_dup_pairs
+
+    texts = ["alpha beta gamma delta epsilon",
+             "zeta eta theta iota kappa"]
+    ds = _docs_ds(texts)
+    # (Ray 2.49 collapses any 0-row dataset to a schema-less frame, so a
+    # typed empty isn't representable — emptiness without a crash is the
+    # contract under test)
+    assert len(ngram_jaccard_pairs(ds, threshold=0.1).to_pandas()) == 0
+    assert len(minhash_jaccard_dups(ds, threshold=0.9).to_pandas()) == 0
+    assert len(minhash_lsh_pairs(ds, verify_mode="join",
+                                 verify_threshold=0.5).to_pandas()) == 0
+    # empty_docs='exact' pairs still flow through the short-circuit path
+    ds2 = _docs_ds(texts + ["", ""], ids=[0, 1, 2, 3])
+    jd2 = minhash_jaccard_dups(ds2, threshold=0.9,
+                               empty_docs="exact").to_pandas()
+    assert set(zip(jd2["doc_a"], jd2["doc_b"])) == {(2, 3)}
+    # orthogonal embeddings -> zero cosine candidates, both modes
+    emb = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1], type=pa.int64()),
+        "emb": pa.array([[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]],
+                        type=pa.list_(pa.float64())),
+    }))
+    for mode in ("blocked", "exact"):
+        cd = cosine_dup_pairs(emb, id_col="vec_id", vec_col="emb",
+                              threshold=0.95, mode=mode).to_pandas()
+        assert len(cd) == 0, mode
