@@ -168,6 +168,37 @@ def _mix_rows_u64(mat: np.ndarray, seed: int = 0x9E3779B97F4A7C15) -> np.ndarray
     return h
 
 
+def _composite_hash(values):
+    """THE 128-bit content key used across the dedup family: two
+    independent-seed xxhash64 columns (a single 64-bit hash collides at
+    ~2^32 docs, too weak for 10^12).  → (h1, h2) uint64 arrays."""
+    return _stable_u64_column(values, seed=11), \
+        _stable_u64_column(values, seed=23)
+
+
+def _sorted_runs(run_keys, tiebreaks=()):
+    """Sort rows by ``run_keys`` (major key first; ``tiebreaks`` order
+    rows within a run) and find equal-key runs — the shared idiom of the
+    coarse-group pair emitters (one vectorized lexsort instead of one
+    Python map_groups call per near-singleton exact key).
+
+    → (order, starts, sizes): apply ``order`` to the payload columns,
+    then each run is ``[starts[i], starts[i] + sizes[i])``."""
+    order = np.lexsort(tuple(tiebreaks)[::-1] + tuple(run_keys)[::-1])
+    n = len(order)
+    if n == 0:
+        z = np.empty(0, dtype=np.int64)
+        return order, z, z
+    new = np.zeros(n, dtype=bool)
+    new[0] = True
+    for k in run_keys:
+        ks = k[order]
+        new[1:] |= ks[1:] != ks[:-1]
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.append(starts, n))
+    return order, starts, sizes
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 
@@ -182,8 +213,7 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         col = batch[text_col]
         if normalize:
             col = pc.utf8_lower(pc.coalesce(col, pa.scalar("")))
-        h1 = _stable_u64_column(col, seed=11)
-        h2 = _stable_u64_column(col, seed=23)
+        h1, h2 = _composite_hash(col)
         return pa.table({
             "h1": pa.array(h1, type=pa.uint64()),
             "h2": pa.array(h2, type=pa.uint64()),
@@ -239,8 +269,7 @@ def ngram_jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.1,
             ids.extend([d] * len(uniq))
             shs.extend(uniq)
         if shs:
-            lo = _stable_u64_column(shs, seed=11)
-            hi = _stable_u64_column(shs, seed=23)
+            lo, hi = _composite_hash(shs)
         else:
             lo = hi = np.empty(0, dtype=np.uint64)
         grp = (lo & np.uint64((1 << 10) - 1)).astype(np.int32)
@@ -266,13 +295,8 @@ def ngram_jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.1,
         lo = group["sh_lo"].to_numpy()
         hi = group["sh_hi"].to_numpy()
         d = group["doc_id"].to_numpy()
-        o = np.lexsort((hi, lo))
-        lo, hi, d = lo[o], hi[o], d[o]
-        new = np.empty(len(lo), dtype=bool)
-        new[0] = True
-        new[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
-        starts = np.flatnonzero(new)
-        sizes = np.diff(np.append(starts, len(lo)))
+        o, starts, sizes = _sorted_runs((lo, hi))
+        d = d[o]
         out_a, out_b = [], []
         for s, z in zip(starts[sizes >= 2], sizes[sizes >= 2]):
             if z > max_group_docs:
@@ -444,14 +468,8 @@ def _emit_bucket_pairs(group) -> "pa.Table":
     b = group["band"].to_numpy()
     k = group["bucket"].to_numpy()
     d = group["doc_id"].to_numpy()
-    o = np.lexsort((d, k, b))
-    b, k, d = b[o], k[o], d[o]
-    new = np.empty(len(b), dtype=bool)
-    new[0] = True
-    np.not_equal(k[1:], k[:-1], out=new[1:])
-    np.logical_or(new[1:], b[1:] != b[:-1], out=new[1:])
-    starts = np.flatnonzero(new)
-    sizes = np.diff(np.append(starts, len(b)))
+    o, starts, sizes = _sorted_runs((b, k), (d,))
+    d = d[o]
     out_a, out_b = [], []
     for s, z in zip(starts[sizes >= 2], sizes[sizes >= 2]):
         docs = np.unique(d[s: s + z])
@@ -494,8 +512,7 @@ def _empty_doc_pairs(ds, *, n: int, text_col: str, id_col: str,
                 keep_ids.append(d)
                 keep_txt.append(t.lower() if lowercase else t)
         if keep_txt:
-            h1 = _stable_u64_column(keep_txt, seed=11)
-            h2 = _stable_u64_column(keep_txt, seed=23)
+            h1, h2 = _composite_hash(keep_txt)
         else:
             h1 = h2 = np.empty(0, dtype=np.uint64)
         grp = (h1 & np.uint64((1 << 10) - 1)).astype(np.int32)
@@ -510,13 +527,8 @@ def _empty_doc_pairs(ds, *, n: int, text_col: str, id_col: str,
         h1 = group["h1"].to_numpy()
         h2 = group["h2"].to_numpy()
         d = group["doc_id"].to_numpy()
-        o = np.lexsort((d, h2, h1))
-        h1, h2, d = h1[o], h2[o], d[o]
-        new = np.empty(len(h1), dtype=bool)
-        new[0] = True
-        new[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
-        starts = np.flatnonzero(new)
-        sizes = np.diff(np.append(starts, len(h1)))
+        o, starts, sizes = _sorted_runs((h1, h2), (d,))
+        d = d[o]
         oa, ob = [], []
         for s, z in zip(starts[sizes >= 2], sizes[sizes >= 2]):
             oa.append(np.full(z - 1, d[s], dtype=np.int64))
@@ -620,14 +632,8 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16, n: int = 3,
             k = group["bucket"].to_numpy()
             d = group["doc_id"].to_numpy()
             sraw = group["sigb"].to_numpy()
-            o = np.lexsort((d, k, b))
-            b, k, d, sraw = b[o], k[o], d[o], sraw[o]
-            new = np.empty(len(b), dtype=bool)
-            new[0] = True
-            np.not_equal(k[1:], k[:-1], out=new[1:])
-            np.logical_or(new[1:], b[1:] != b[:-1], out=new[1:])
-            starts = np.flatnonzero(new)
-            sizes = np.diff(np.append(starts, len(b)))
+            o, starts, sizes = _sorted_runs((b, k), (d,))
+            b, d, sraw = b[o], d[o], sraw[o]
             oa, ob, oe = [], [], []
             for s, z in zip(starts[sizes >= 2], sizes[sizes >= 2]):
                 dd, idx = np.unique(d[s: s + z], return_index=True)
@@ -945,14 +951,8 @@ def simhash_pairs(ds, *, max_hamming: int = 3, text_col: str = "text",
         k = group["key"].to_numpy()
         d = group["doc_id"].to_numpy()
         h = group["simhash"].to_numpy().astype(np.uint64)
-        o = np.lexsort((d, k, b))
-        b, k, d, h = b[o], k[o], d[o], h[o]
-        new = np.empty(len(b), dtype=bool)
-        new[0] = True
-        np.not_equal(k[1:], k[:-1], out=new[1:])
-        np.logical_or(new[1:], b[1:] != b[:-1], out=new[1:])
-        starts = np.flatnonzero(new)
-        sizes = np.diff(np.append(starts, len(b)))
+        o, starts, sizes = _sorted_runs((b, k), (d,))
+        d, h = d[o], h[o]
         das, dbs, hams = [], [], []
         for s, z in zip(starts[sizes >= 2], sizes[sizes >= 2]):
             dd, idx = np.unique(d[s: s + z], return_index=True)
