@@ -1776,6 +1776,70 @@ SELECT est.qid,
 FROM est LEFT JOIN truek t USING (qid)"""
 
 
+def q_kth_threshold_combine_term(sf_dir: str) -> pd.DataFrame:
+    """By-term combined threshold estimation: per-doc SUM across the
+    single-term cached top-d lists, k-th best of the pool
+    (kth_threshold_budget_combine_term.cpp)."""
+    from pisa_ray.tools import kth_threshold_combine
+
+    eng = _engine(sf_dir)
+    df = kth_threshold_combine(
+        eng, [(qid, " ".join(ts)) for qid, ts in QUERY_SET], k=TOPK,
+        d_mult=_COMBINE_D_MULT, combine="sum")
+    df["est_threshold"] = _round_match(df["est_threshold"].to_numpy(), 6)
+    df["true_threshold"] = _round_match(df["true_threshold"].to_numpy(), 6)
+    return df[["qid", "est_threshold", "true_threshold", "safe"]]
+
+
+SQL_KTH_THRESHOLD_COMBINE_TERM = f"""WITH {_TF_CTES},
+{_values_queries()},
+w AS (
+    SELECT tf.term, tf.doc_id, {_BM25_WEIGHT_SQL} AS weight
+    FROM tf JOIN df ON tf.term = df.term
+    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+),
+qterms AS (SELECT DISTINCT qid, term FROM q),
+qids AS (SELECT DISTINCT qid FROM q),
+rw AS (
+    SELECT term, doc_id, weight,
+           row_number() OVER (PARTITION BY term
+                              ORDER BY weight DESC, doc_id) AS rn
+    FROM w
+),
+s1 AS (SELECT qt.qid, r.doc_id, r.weight
+       FROM rw r JOIN qterms qt USING (term) WHERE r.rn <= {_COMBINE_D}),
+pool AS (
+    SELECT qid, doc_id, sum(weight) AS cscore
+    FROM s1 GROUP BY qid, doc_id
+),
+rpool AS (
+    SELECT qid, cscore,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cscore DESC, doc_id) AS rn
+    FROM pool
+),
+estk AS (SELECT qid, cscore AS e FROM rpool WHERE rn = {TOPK}),
+est AS (SELECT qids.qid, COALESCE(e.e, -2.0) AS e
+        FROM qids LEFT JOIN estk e USING (qid)),
+scored_full AS (
+    SELECT qt.qid, w.doc_id, sum(w.weight) AS score
+    FROM qterms qt JOIN w USING (term)
+    GROUP BY qt.qid, w.doc_id
+),
+ranked_full AS (
+    SELECT qid, score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, doc_id) AS rn
+    FROM scored_full
+),
+truek AS (SELECT qid, score AS true_t FROM ranked_full WHERE rn = {TOPK})
+SELECT est.qid,
+       round(est.e, 6) AS est_threshold,
+       round(COALESCE(t.true_t, 0.0), 6) AS true_threshold,
+       (est.e <= COALESCE(t.true_t, 0.0) + 1e-9) AS safe
+FROM est LEFT JOIN truek t USING (qid)"""
+
+
 _SIM_RATE, _SIM_TARGET_O = 0.5, 0.1
 
 
@@ -1857,6 +1921,7 @@ QUERIES.update({
     "kth_threshold_budget": q_kth_threshold_budget,
     "kth_threshold_sampling": q_kth_threshold_sampling,
     "kth_threshold_combine": q_kth_threshold_combine,
+    "kth_threshold_combine_term": q_kth_threshold_combine_term,
     "threshold_lookup": q_threshold_lookup,
     "kth_threshold_simulator": q_kth_threshold_simulator,
     "taily_thresholds": q_taily_thresholds,
@@ -1870,6 +1935,7 @@ ORACLE_SQL.update({
     "kth_threshold_budget": SQL_KTH_THRESHOLD_BUDGET,
     "kth_threshold_sampling": SQL_KTH_THRESHOLD_SAMPLING,
     "kth_threshold_combine": SQL_KTH_THRESHOLD_COMBINE,
+    "kth_threshold_combine_term": SQL_KTH_THRESHOLD_COMBINE_TERM,
     "threshold_lookup": SQL_THRESHOLD_LOOKUP,
     "kth_threshold_simulator": SQL_KTH_THRESHOLD_SIMULATOR,
 })

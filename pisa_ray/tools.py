@@ -448,8 +448,8 @@ def _substructure_doc_topd(engine: QueryEngine, term_ids: Sequence[int],
 
 
 def kth_threshold_combine(engine: QueryEngine, queries, *, k: int = 10,
-                          terms_considered: int = 2, d_mult: int = 10
-                          ) -> pd.DataFrame:
+                          terms_considered: int = 2, d_mult: int = 10,
+                          combine: str = "max") -> pd.DataFrame:
     """By-docid substructure combination — the one algorithmically distinct
     member of the fork's kth_threshold family
     (``/root/reference/tools/kth_threshold_combine_did.cpp:182-215,346-390``).
@@ -467,15 +467,27 @@ def kth_threshold_combine(engine: QueryEngine, queries, *, k: int = 10,
     sentinel, ``:211-214``).  Substructures are all term subsets of size
     1..terms_considered (``getAllPossibleSlicing``, ``:116-147``).
     Deterministic (score-desc/docid-asc everywhere) → SQL-oracle-able.
-    Returns (qid, est_threshold, true_threshold, safe)."""
+    Returns (qid, est_threshold, true_threshold, safe).
+
+    ``combine="sum"`` is the by-TERM combine variant
+    (``kth_threshold_budget_combine_term.cpp:131-159``): only the
+    SINGLE-term cached top-d lists are used, and each doc's pool score is
+    the SUM of its cached per-term scores (a truncated reconstruction of
+    the full disjunctive score; docs absent from a term's cached list
+    contribute 0 for that term).  Still safe: every missing contribution
+    only lowers the estimate.  ``terms_considered`` is ignored in sum
+    mode (the reference's tool caches singles only)."""
+    if combine not in ("max", "sum"):
+        raise ValueError(f"combine must be 'max' or 'sum', got {combine!r}")
     d = k * d_mult
     cache: Dict[Tuple[int, ...], Tuple[np.ndarray, np.ndarray]] = {}
     rows = []
+    max_r = 1 if combine == "sum" else terms_considered
     for qid, text in queries:
         term_ids, _ = engine.parse_query(text)
         pool_docs: List[np.ndarray] = []
         pool_scores: List[np.ndarray] = []
-        for r in range(1, min(terms_considered, len(term_ids)) + 1):
+        for r in range(1, min(max_r, len(term_ids)) + 1):
             for subset in itertools.combinations(term_ids, r):
                 if subset not in cache:
                     cache[subset] = _substructure_doc_topd(engine, subset, d)
@@ -488,13 +500,24 @@ def kth_threshold_combine(engine: QueryEngine, queries, *, k: int = 10,
             alld = np.concatenate(pool_docs)
             alls = np.concatenate(pool_scores)
             if len(alld):
-                # per-doc max across substructures: (doc asc, score desc)
-                # then keep the first row of each doc run
-                order = np.lexsort((-alls, alld))
-                alld, alls = alld[order], alls[order]
-                first = np.ones(len(alld), dtype=bool)
-                first[1:] = alld[1:] != alld[:-1]
-                md, ms = alld[first], alls[first]
+                if combine == "sum":
+                    # per-doc SUM across single-term lists: doc-sorted
+                    # runs folded with reduceat
+                    order = np.argsort(alld, kind="stable")
+                    alld, alls = alld[order], alls[order]
+                    first = np.ones(len(alld), dtype=bool)
+                    first[1:] = alld[1:] != alld[:-1]
+                    starts = np.flatnonzero(first)
+                    md = alld[starts]
+                    ms = np.add.reduceat(alls, starts)
+                else:
+                    # per-doc MAX across substructures: (doc asc, score
+                    # desc) then keep the first row of each doc run
+                    order = np.lexsort((-alls, alld))
+                    alld, alls = alld[order], alls[order]
+                    first = np.ones(len(alld), dtype=bool)
+                    first[1:] = alld[1:] != alld[:-1]
+                    md, ms = alld[first], alls[first]
                 if len(md) >= k:
                     o = np.lexsort((md, -ms))
                     est = float(ms[o[k - 1]])

@@ -180,6 +180,51 @@ def test_kth_threshold_combine(toolbox):
     assert combine["est_threshold"].iloc[3] == -2.0
 
 
+def test_kth_threshold_combine_term(toolbox):
+    """By-term SUM combine (kth_threshold_budget_combine_term.cpp): safe,
+    dominates the single-term max-of-kth bound (positive weights make the
+    per-doc sum >= any component), matches brute force."""
+    import itertools
+
+    from pisa_ray.tools import (kth_threshold_combine,
+                                kth_threshold_estimate)
+
+    eng, oracle, out = toolbox
+    queries = [("q1", "thehot term001"), ("q2", "term001 term005 thehot"),
+               ("q3", "term000")]
+    k, d = 5, 10
+    got = kth_threshold_combine(eng, queries, k=k, d_mult=d // k,
+                                combine="sum")
+    assert got["safe"].all()
+    singles = kth_threshold_estimate(eng, queries, k=k)
+    both = got["est_threshold"].to_numpy() >= 0
+    assert (got["est_threshold"].to_numpy()[both]
+            >= singles["est_threshold"].to_numpy()[both] - 1e-9).all()
+    with pytest.raises(ValueError, match="combine"):
+        kth_threshold_combine(eng, queries, combine="bogus")
+
+    def brute(text):
+        tids = sorted(oracle.term_to_id[t] for t in text.split()
+                      if t in oracle.term_to_id)
+        pool = {}
+        for tid in tids:
+            m = {doc: float(oracle.bm25_weight(tf, doc, oracle.df[tid]))
+                 for doc, tf in oracle.postings[tid]}
+            topd = sorted(m.items(), key=lambda kv: (-kv[1], kv[0]))[:d]
+            for doc, s in topd:
+                pool[doc] = pool.get(doc, 0.0) + s
+        if len(pool) < k:
+            return -2.0
+        return sorted(pool.items(), key=lambda kv: (-kv[1], kv[0]))[k - 1][1]
+
+    for (_, text), est in zip(queries, got["est_threshold"]):
+        want = brute(text)
+        if want < 0:
+            assert est == want
+        else:
+            assert est == pytest.approx(want, rel=1e-6)
+
+
 def test_quantized_index(ray_session, tmp_path):
     """Quantized build: freqs hold 8-bit quantized impact scores; the
     quantized scorer reproduces a close top-k (reference: quantized index
