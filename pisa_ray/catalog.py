@@ -1840,6 +1840,100 @@ SELECT est.qid,
 FROM est LEFT JOIN truek t USING (qid)"""
 
 
+def _values_slicings(max_block: int = 2) -> str:
+    """VALUES table (qid, sid, bid, term): every partition (slicing) of
+    each query's distinct tokens into blocks of size ≤ max_block —
+    the SQL mirror of tools._set_partitions.  OOV tokens are harmless:
+    an OOV singleton block matches no postings (contributes nothing) and
+    an OOV-containing pair block can never satisfy the ALL-terms HAVING,
+    so the per-doc max over slicings equals the engine's (which drops
+    OOV terms before enumerating)."""
+    from pisa_ray.tools import _set_partitions
+
+    rows = []
+    for qid, terms in QUERY_SET:
+        toks = sorted(set(terms))
+        for sid, part in enumerate(_set_partitions(toks, max_block)):
+            for bid, block in enumerate(part):
+                for t in block:
+                    rows.append(f"('{qid}', {sid}, {bid}, '{t}')")
+    return "slc(qid, sid, bid, term) AS (VALUES " + ", ".join(rows) + ")"
+
+
+def q_kth_threshold_intersection(sf_dir: str) -> pd.DataFrame:
+    """Intersection-slicing threshold estimation: per-doc SUM of block
+    AND-scores within each disjoint partition of the query terms, per-doc
+    MAX across partitions, k-th best (kth_threshold_intersection.cpp)."""
+    from pisa_ray.tools import kth_threshold_combine
+
+    eng = _engine(sf_dir)
+    df = kth_threshold_combine(
+        eng, [(qid, " ".join(ts)) for qid, ts in QUERY_SET], k=TOPK,
+        terms_considered=2, d_mult=_COMBINE_D_MULT, combine="slicing")
+    df["est_threshold"] = _round_match(df["est_threshold"].to_numpy(), 6)
+    df["true_threshold"] = _round_match(df["true_threshold"].to_numpy(), 6)
+    return df[["qid", "est_threshold", "true_threshold", "safe"]]
+
+
+SQL_KTH_THRESHOLD_INTERSECTION = f"""WITH {_TF_CTES},
+{_values_queries()},
+{_values_slicings()},
+w AS (
+    SELECT tf.term, tf.doc_id, {_BM25_WEIGHT_SQL} AS weight
+    FROM tf JOIN df ON tf.term = df.term
+    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+),
+qterms AS (SELECT DISTINCT qid, term FROM q),
+qids AS (SELECT DISTINCT qid FROM q),
+blk AS (SELECT qid, sid, bid, count(*) AS bsz FROM slc GROUP BY 1, 2, 3),
+bdoc AS (
+    SELECT s.qid, s.sid, s.bid, w.doc_id,
+           sum(w.weight) AS bscore, count(*) AS nt
+    FROM slc s JOIN w ON w.term = s.term
+    GROUP BY s.qid, s.sid, s.bid, w.doc_id
+),
+bdocf AS (
+    SELECT bd.qid, bd.sid, bd.bid, bd.doc_id, bd.bscore
+    FROM bdoc bd JOIN blk USING (qid, sid, bid)
+    WHERE bd.nt = blk.bsz
+),
+rbd AS (
+    SELECT qid, sid, bid, doc_id, bscore,
+           row_number() OVER (PARTITION BY qid, sid, bid
+                              ORDER BY bscore DESC, doc_id) AS rn
+    FROM bdocf
+),
+sdoc AS (SELECT qid, sid, doc_id, sum(bscore) AS sscore
+         FROM rbd WHERE rn <= {_COMBINE_D} GROUP BY 1, 2, 3),
+pool AS (SELECT qid, doc_id, max(sscore) AS cscore FROM sdoc GROUP BY 1, 2),
+rpool AS (
+    SELECT qid, cscore,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cscore DESC, doc_id) AS rn
+    FROM pool
+),
+estk AS (SELECT qid, cscore AS e FROM rpool WHERE rn = {TOPK}),
+est AS (SELECT qids.qid, COALESCE(e.e, -2.0) AS e
+        FROM qids LEFT JOIN estk e USING (qid)),
+scored_full AS (
+    SELECT qt.qid, w.doc_id, sum(w.weight) AS score
+    FROM qterms qt JOIN w USING (term)
+    GROUP BY qt.qid, w.doc_id
+),
+ranked_full AS (
+    SELECT qid, score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, doc_id) AS rn
+    FROM scored_full
+),
+truek AS (SELECT qid, score AS true_t FROM ranked_full WHERE rn = {TOPK})
+SELECT est.qid,
+       round(est.e, 6) AS est_threshold,
+       round(COALESCE(t.true_t, 0.0), 6) AS true_threshold,
+       (est.e <= COALESCE(t.true_t, 0.0) + 1e-9) AS safe
+FROM est LEFT JOIN truek t USING (qid)"""
+
+
 _SIM_RATE, _SIM_TARGET_O = 0.5, 0.1
 
 
@@ -1922,6 +2016,7 @@ QUERIES.update({
     "kth_threshold_sampling": q_kth_threshold_sampling,
     "kth_threshold_combine": q_kth_threshold_combine,
     "kth_threshold_combine_term": q_kth_threshold_combine_term,
+    "kth_threshold_intersection": q_kth_threshold_intersection,
     "threshold_lookup": q_threshold_lookup,
     "kth_threshold_simulator": q_kth_threshold_simulator,
     "taily_thresholds": q_taily_thresholds,
@@ -1936,6 +2031,7 @@ ORACLE_SQL.update({
     "kth_threshold_sampling": SQL_KTH_THRESHOLD_SAMPLING,
     "kth_threshold_combine": SQL_KTH_THRESHOLD_COMBINE,
     "kth_threshold_combine_term": SQL_KTH_THRESHOLD_COMBINE_TERM,
+    "kth_threshold_intersection": SQL_KTH_THRESHOLD_INTERSECTION,
     "threshold_lookup": SQL_THRESHOLD_LOOKUP,
     "kth_threshold_simulator": SQL_KTH_THRESHOLD_SIMULATOR,
 })

@@ -447,6 +447,52 @@ def _substructure_doc_topd(engine: QueryEngine, term_ids: Sequence[int],
     return docs[order], scores[order]
 
 
+def _set_partitions(items, max_block: int):
+    """All partitions of ``items`` into disjoint blocks of size ≤
+    max_block (the ``getAllPossibleSlicing`` table of
+    ``kth_threshold_intersection.cpp:117-206``, generalized from its
+    hardcoded ≤5-term enumeration).  Canonical order: the first item's
+    block is chosen first."""
+    items = list(items)
+    if not items:
+        yield []
+        return
+    first, rest = items[0], items[1:]
+    for r in range(0, min(max_block - 1, len(rest)) + 1):
+        for extra in itertools.combinations(rest, r):
+            taken = set(extra)
+            remaining = [x for x in rest if x not in taken]
+            for sub in _set_partitions(remaining, max_block):
+                yield [(first,) + extra] + sub
+
+
+def _doc_sum(docs_list, scores_list):
+    """Per-doc SUM over concatenated (docs, scores) lists."""
+    alld = np.concatenate(docs_list)
+    alls = np.concatenate(scores_list)
+    if not len(alld):
+        return alld, alls
+    order = np.argsort(alld, kind="stable")
+    alld, alls = alld[order], alls[order]
+    first = np.ones(len(alld), dtype=bool)
+    first[1:] = alld[1:] != alld[:-1]
+    starts = np.flatnonzero(first)
+    return alld[starts], np.add.reduceat(alls, starts)
+
+
+def _doc_max(docs_list, scores_list):
+    """Per-doc MAX over concatenated (docs, scores) lists."""
+    alld = np.concatenate(docs_list)
+    alls = np.concatenate(scores_list)
+    if not len(alld):
+        return alld, alls
+    order = np.lexsort((-alls, alld))
+    alld, alls = alld[order], alls[order]
+    first = np.ones(len(alld), dtype=bool)
+    first[1:] = alld[1:] != alld[:-1]
+    return alld[first], alls[first]
+
+
 def kth_threshold_combine(engine: QueryEngine, queries, *, k: int = 10,
                           terms_considered: int = 2, d_mult: int = 10,
                           combine: str = "max") -> pd.DataFrame:
@@ -476,51 +522,60 @@ def kth_threshold_combine(engine: QueryEngine, queries, *, k: int = 10,
     the full disjunctive score; docs absent from a term's cached list
     contribute 0 for that term).  Still safe: every missing contribution
     only lowers the estimate.  ``terms_considered`` is ignored in sum
-    mode (the reference's tool caches singles only)."""
-    if combine not in ("max", "sum"):
-        raise ValueError(f"combine must be 'max' or 'sum', got {combine!r}")
+    mode (the reference's tool caches singles only).
+
+    ``combine="slicing"`` is the intersection-slicing variant
+    (``kth_threshold_intersection.cpp:117-254``): enumerate every
+    PARTITION of the query terms into disjoint blocks of size ≤
+    terms_considered, score each doc within one slicing as the SUM of its
+    block AND-scores (a disjoint cover of the query, so each term
+    contributes at most once), and take the per-doc MAX across slicings
+    before the k-th best.  The tightest of the three combiners (the
+    all-singles slicing reproduces "sum"; coarser blocks replace
+    single-term truncated tops with exact conjunctive sums) and still
+    safe: every slicing's per-doc value is ≤ the doc's full disjunctive
+    score."""
+    if combine not in ("max", "sum", "slicing"):
+        raise ValueError(
+            f"combine must be 'max', 'sum' or 'slicing', got {combine!r}")
     d = k * d_mult
     cache: Dict[Tuple[int, ...], Tuple[np.ndarray, np.ndarray]] = {}
     rows = []
-    max_r = 1 if combine == "sum" else terms_considered
+    def cached(subset):
+        if subset not in cache:
+            cache[subset] = _substructure_doc_topd(engine, subset, d)
+        return cache[subset]
+
     for qid, text in queries:
         term_ids, _ = engine.parse_query(text)
-        pool_docs: List[np.ndarray] = []
-        pool_scores: List[np.ndarray] = []
-        for r in range(1, min(max_r, len(term_ids)) + 1):
-            for subset in itertools.combinations(term_ids, r):
-                if subset not in cache:
-                    cache[subset] = _substructure_doc_topd(engine, subset, d)
-                sd, ss = cache[subset]
-                pool_docs.append(sd)
-                pool_scores.append(ss)
+        md = ms = None
+        if term_ids:
+            if combine == "slicing":
+                # per slicing: per-doc SUM of block AND-scores; then
+                # per-doc MAX across slicings
+                sdocs, sscores = [], []
+                for part in _set_partitions(term_ids, terms_considered):
+                    bd, bs = zip(*(cached(b) for b in part))
+                    pd_, ps_ = _doc_sum(list(bd), list(bs))
+                    sdocs.append(pd_)
+                    sscores.append(ps_)
+                md, ms = _doc_max(sdocs, sscores)
+            else:
+                max_r = 1 if combine == "sum" else terms_considered
+                pool_docs: List[np.ndarray] = []
+                pool_scores: List[np.ndarray] = []
+                for r in range(1, min(max_r, len(term_ids)) + 1):
+                    for subset in itertools.combinations(term_ids, r):
+                        sd, ss = cached(subset)
+                        pool_docs.append(sd)
+                        pool_scores.append(ss)
+                fold = _doc_sum if combine == "sum" else _doc_max
+                md, ms = fold(pool_docs, pool_scores)
         true = engine.threshold(text, k=k)
         est = -2.0
-        if pool_docs:
-            alld = np.concatenate(pool_docs)
-            alls = np.concatenate(pool_scores)
-            if len(alld):
-                if combine == "sum":
-                    # per-doc SUM across single-term lists: doc-sorted
-                    # runs folded with reduceat
-                    order = np.argsort(alld, kind="stable")
-                    alld, alls = alld[order], alls[order]
-                    first = np.ones(len(alld), dtype=bool)
-                    first[1:] = alld[1:] != alld[:-1]
-                    starts = np.flatnonzero(first)
-                    md = alld[starts]
-                    ms = np.add.reduceat(alls, starts)
-                else:
-                    # per-doc MAX across substructures: (doc asc, score
-                    # desc) then keep the first row of each doc run
-                    order = np.lexsort((-alls, alld))
-                    alld, alls = alld[order], alls[order]
-                    first = np.ones(len(alld), dtype=bool)
-                    first[1:] = alld[1:] != alld[:-1]
-                    md, ms = alld[first], alls[first]
-                if len(md) >= k:
-                    o = np.lexsort((md, -ms))
-                    est = float(ms[o[k - 1]])
+        if md is not None and len(md) >= k:
+            o = np.lexsort((md, -ms))
+            est = float(ms[o[k - 1]])
         rows.append({"qid": qid, "est_threshold": float(est),
                      "true_threshold": float(true),
                      "safe": bool(est <= true + 1e-9)})

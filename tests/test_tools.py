@@ -225,6 +225,64 @@ def test_kth_threshold_combine_term(toolbox):
             assert est == pytest.approx(want, rel=1e-6)
 
 
+def test_kth_threshold_combine_slicing(toolbox):
+    """Intersection-slicing combine (kth_threshold_intersection.cpp):
+    safe, dominates BOTH other combiners (the all-singles slicing
+    reproduces 'sum'; a subset's own slicing dominates 'max'), matches a
+    brute-force partition enumeration."""
+    import itertools
+
+    from pisa_ray.tools import _set_partitions, kth_threshold_combine
+
+    eng, oracle, out = toolbox
+    queries = [("q1", "thehot term001"), ("q2", "term001 term005 thehot"),
+               ("q3", "term000")]
+    k, d = 5, 10
+    slicing = kth_threshold_combine(eng, queries, k=k, terms_considered=2,
+                                    d_mult=d // k, combine="slicing")
+    assert slicing["safe"].all()
+    for other in ("max", "sum"):
+        o = kth_threshold_combine(eng, queries, k=k, terms_considered=2,
+                                  d_mult=d // k, combine=other)
+        both = (slicing["est_threshold"].to_numpy() >= 0) \
+            & (o["est_threshold"].to_numpy() >= 0)
+        assert (slicing["est_threshold"].to_numpy()[both]
+                >= o["est_threshold"].to_numpy()[both] - 1e-9).all(), other
+
+    def block_topd(tids):
+        per_doc = None
+        for tid in tids:
+            m = {doc: float(oracle.bm25_weight(tf, doc, oracle.df[tid]))
+                 for doc, tf in oracle.postings[tid]}
+            per_doc = (m if per_doc is None else
+                       {doc: s + m[doc]
+                        for doc, s in per_doc.items() if doc in m})
+        return dict(sorted(per_doc.items(),
+                           key=lambda kv: (-kv[1], kv[0]))[:d])
+
+    def brute(text):
+        tids = sorted(oracle.term_to_id[t] for t in text.split()
+                      if t in oracle.term_to_id)
+        pool = {}
+        for part in _set_partitions(tids, 2):
+            sdoc = {}
+            for block in part:
+                for doc, s in block_topd(block).items():
+                    sdoc[doc] = sdoc.get(doc, 0.0) + s
+            for doc, s in sdoc.items():
+                pool[doc] = max(pool.get(doc, -np.inf), s)
+        if len(pool) < k:
+            return -2.0
+        return sorted(pool.items(), key=lambda kv: (-kv[1], kv[0]))[k - 1][1]
+
+    for (_, text), est in zip(queries, slicing["est_threshold"]):
+        want = brute(text)
+        if want < 0:
+            assert est == want
+        else:
+            assert est == pytest.approx(want, rel=1e-6)
+
+
 def test_quantized_index(ray_session, tmp_path):
     """Quantized build: freqs hold 8-bit quantized impact scores; the
     quantized scorer reproduces a close top-k (reference: quantized index
