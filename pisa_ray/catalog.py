@@ -1934,6 +1934,108 @@ SELECT est.qid,
 FROM est LEFT JOIN truek t USING (qid)"""
 
 
+def _values_combinations(max_r: int = 2) -> str:
+    """VALUES table (qid, cid, term): every subset (size 1..max_r) of each
+    query's distinct tokens — the cached-substructure inventory of the
+    existence combiner.  OOV tokens reveal nothing on either side (no
+    postings → no cdoc rows), matching the engine's OOV-dropping parse."""
+    import itertools
+
+    rows = []
+    for qid, terms in QUERY_SET:
+        toks = sorted(set(terms))
+        cid = 0
+        for r in range(1, min(max_r, len(toks)) + 1):
+            for subset in itertools.combinations(toks, r):
+                for t in subset:
+                    rows.append(f"('{qid}', {cid}, '{t}')")
+                cid += 1
+    return "cmb(qid, cid, term) AS (VALUES " + ", ".join(rows) + ")"
+
+
+def q_kth_threshold_existence(sf_dir: str) -> pd.DataFrame:
+    """Substructure-existence threshold estimation: union of revealed
+    (doc, term) scores across every cached substructure's top-d list,
+    per-doc sum over distinct revealed terms, k-th best
+    (kth_threshold_existance_substructure_test.cpp)."""
+    from pisa_ray.tools import kth_threshold_combine
+
+    eng = _engine(sf_dir)
+    df = kth_threshold_combine(
+        eng, [(qid, " ".join(ts)) for qid, ts in QUERY_SET], k=TOPK,
+        terms_considered=2, d_mult=_COMBINE_D_MULT, combine="existence")
+    df["est_threshold"] = _round_match(df["est_threshold"].to_numpy(), 6)
+    df["true_threshold"] = _round_match(df["true_threshold"].to_numpy(), 6)
+    return df[["qid", "est_threshold", "true_threshold", "safe"]]
+
+
+SQL_KTH_THRESHOLD_EXISTENCE = f"""WITH {_TF_CTES},
+{_values_queries()},
+{_values_combinations()},
+w AS (
+    SELECT tf.term, tf.doc_id, {_BM25_WEIGHT_SQL} AS weight
+    FROM tf JOIN df ON tf.term = df.term
+    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+),
+qterms AS (SELECT DISTINCT qid, term FROM q),
+qids AS (SELECT DISTINCT qid FROM q),
+cblk AS (SELECT qid, cid, count(*) AS csz FROM cmb GROUP BY 1, 2),
+cdoc AS (
+    SELECT c.qid, c.cid, w.doc_id,
+           sum(w.weight) AS bscore, count(*) AS nt
+    FROM cmb c JOIN w ON w.term = c.term
+    GROUP BY c.qid, c.cid, w.doc_id
+),
+cdocf AS (
+    SELECT cd.qid, cd.cid, cd.doc_id, cd.bscore
+    FROM cdoc cd JOIN cblk USING (qid, cid)
+    WHERE cd.nt = cblk.csz
+),
+rcd AS (
+    SELECT qid, cid, doc_id,
+           row_number() OVER (PARTITION BY qid, cid
+                              ORDER BY bscore DESC, doc_id) AS rn
+    FROM cdocf
+),
+revealed AS (
+    SELECT DISTINCT t.qid, t.doc_id, c.term
+    FROM rcd t JOIN cmb c USING (qid, cid)
+    WHERE t.rn <= {_COMBINE_D}
+),
+pool AS (
+    SELECT r.qid, r.doc_id, sum(w.weight) AS cscore
+    FROM revealed r
+    JOIN w ON w.term = r.term AND w.doc_id = r.doc_id
+    GROUP BY r.qid, r.doc_id
+),
+rpool AS (
+    SELECT qid, cscore,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cscore DESC, doc_id) AS rn
+    FROM pool
+),
+estk AS (SELECT qid, cscore AS e FROM rpool WHERE rn = {TOPK}),
+est AS (SELECT qids.qid, COALESCE(e.e, -2.0) AS e
+        FROM qids LEFT JOIN estk e USING (qid)),
+scored_full AS (
+    SELECT qt.qid, w.doc_id, sum(w.weight) AS score
+    FROM qterms qt JOIN w USING (term)
+    GROUP BY qt.qid, w.doc_id
+),
+ranked_full AS (
+    SELECT qid, score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, doc_id) AS rn
+    FROM scored_full
+),
+truek AS (SELECT qid, score AS true_t FROM ranked_full WHERE rn = {TOPK})
+SELECT est.qid,
+       round(est.e, 6) AS est_threshold,
+       round(COALESCE(t.true_t, 0.0), 6) AS true_threshold,
+       (est.e <= COALESCE(t.true_t, 0.0) + 1e-9) AS safe
+FROM est LEFT JOIN truek t USING (qid)"""
+
+
 _SIM_RATE, _SIM_TARGET_O = 0.5, 0.1
 
 
@@ -2017,6 +2119,7 @@ QUERIES.update({
     "kth_threshold_combine": q_kth_threshold_combine,
     "kth_threshold_combine_term": q_kth_threshold_combine_term,
     "kth_threshold_intersection": q_kth_threshold_intersection,
+    "kth_threshold_existence": q_kth_threshold_existence,
     "threshold_lookup": q_threshold_lookup,
     "kth_threshold_simulator": q_kth_threshold_simulator,
     "taily_thresholds": q_taily_thresholds,
@@ -2032,6 +2135,7 @@ ORACLE_SQL.update({
     "kth_threshold_combine": SQL_KTH_THRESHOLD_COMBINE,
     "kth_threshold_combine_term": SQL_KTH_THRESHOLD_COMBINE_TERM,
     "kth_threshold_intersection": SQL_KTH_THRESHOLD_INTERSECTION,
+    "kth_threshold_existence": SQL_KTH_THRESHOLD_EXISTENCE,
     "threshold_lookup": SQL_THRESHOLD_LOOKUP,
     "kth_threshold_simulator": SQL_KTH_THRESHOLD_SIMULATOR,
 })

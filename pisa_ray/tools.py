@@ -530,14 +530,23 @@ def kth_threshold_combine(engine: QueryEngine, queries, *, k: int = 10,
     terms_considered, score each doc within one slicing as the SUM of its
     block AND-scores (a disjoint cover of the query, so each term
     contributes at most once), and take the per-doc MAX across slicings
-    before the k-th best.  The tightest of the three combiners (the
-    all-singles slicing reproduces "sum"; coarser blocks replace
-    single-term truncated tops with exact conjunctive sums) and still
-    safe: every slicing's per-doc value is ≤ the doc's full disjunctive
-    score."""
-    if combine not in ("max", "sum", "slicing"):
+    before the k-th best.  Tighter than "max"/"sum" (the all-singles
+    slicing reproduces "sum"; coarser blocks replace single-term
+    truncated tops with exact conjunctive sums) and still safe: every
+    slicing's per-doc value is ≤ the doc's full disjunctive score.
+
+    ``combine="existence"`` is the substructure-existence variant
+    (``kth_threshold_existance_substructure_test.cpp:211-232,386-432``):
+    every cached substructure list REVEALS the per-term scores of its
+    top-d docs (``did_t_map[did][term] = score``); a doc's pool score is
+    the sum over the DISTINCT terms revealed for it by ANY substructure.
+    The tightest combiner of the family (it unions every slicing's
+    revealed contributions) and still safe: each term counts at most once
+    with its true score, so the sum is ≤ the full disjunctive score."""
+    if combine not in ("max", "sum", "slicing", "existence"):
         raise ValueError(
-            f"combine must be 'max', 'sum' or 'slicing', got {combine!r}")
+            "combine must be 'max', 'sum', 'slicing' or 'existence', "
+            f"got {combine!r}")
     d = k * d_mult
     cache: Dict[Tuple[int, ...], Tuple[np.ndarray, np.ndarray]] = {}
     rows = []
@@ -546,11 +555,48 @@ def kth_threshold_combine(engine: QueryEngine, queries, *, k: int = 10,
             cache[subset] = _substructure_doc_topd(engine, subset, d)
         return cache[subset]
 
+    term_cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+
+    def term_scores_for(tid, docs):
+        if tid not in term_cache:
+            term_cache[tid] = _term_doc_scores(engine, int(tid))
+        td, ts = term_cache[tid]
+        pos = np.searchsorted(td, docs)
+        return ts[pos]
+
     for qid, text in queries:
         term_ids, _ = engine.parse_query(text)
         md = ms = None
         if term_ids:
-            if combine == "slicing":
+            if combine == "existence":
+                # union of revealed (doc, term) scores over every
+                # substructure's top-d list, then per-doc sum
+                rd, rt, rs = [], [], []
+                for r in range(1, min(terms_considered,
+                                      len(term_ids)) + 1):
+                    for subset in itertools.combinations(term_ids, r):
+                        sd, _ss = cached(subset)
+                        if not len(sd):
+                            continue
+                        for tid in subset:
+                            rd.append(sd)
+                            rt.append(np.full(len(sd), int(tid),
+                                              dtype=np.int64))
+                            rs.append(term_scores_for(tid, sd))
+                if rd:
+                    alld = np.concatenate(rd)
+                    allt = np.concatenate(rt)
+                    alls = np.concatenate(rs)
+                    order = np.lexsort((allt, alld))
+                    alld, allt, alls = alld[order], allt[order], alls[order]
+                    first = np.ones(len(alld), dtype=bool)
+                    first[1:] = (alld[1:] != alld[:-1]) \
+                        | (allt[1:] != allt[:-1])
+                    starts = np.flatnonzero(first)
+                    # distinct (doc, term) runs -> one score each; then
+                    # fold the distinct rows per doc
+                    md, ms = _doc_sum([alld[starts]], [alls[starts]])
+            elif combine == "slicing":
                 # per slicing: per-doc SUM of block AND-scores; then
                 # per-doc MAX across slicings
                 sdocs, sscores = [], []

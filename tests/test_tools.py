@@ -283,6 +283,63 @@ def test_kth_threshold_combine_slicing(toolbox):
             assert est == pytest.approx(want, rel=1e-6)
 
 
+def test_kth_threshold_combine_existence(toolbox):
+    """Substructure-existence combine: safe, dominates slicing (it unions
+    every slicing's revealed contributions), matches brute force."""
+    import itertools
+
+    from pisa_ray.tools import kth_threshold_combine
+
+    eng, oracle, out = toolbox
+    queries = [("q1", "thehot term001"), ("q2", "term001 term005 thehot"),
+               ("q3", "term000")]
+    k, d = 5, 10
+    got = kth_threshold_combine(eng, queries, k=k, terms_considered=2,
+                                d_mult=d // k, combine="existence")
+    assert got["safe"].all()
+    slicing = kth_threshold_combine(eng, queries, k=k, terms_considered=2,
+                                    d_mult=d // k, combine="slicing")
+    both = (got["est_threshold"].to_numpy() >= 0) \
+        & (slicing["est_threshold"].to_numpy() >= 0)
+    assert (got["est_threshold"].to_numpy()[both]
+            >= slicing["est_threshold"].to_numpy()[both] - 1e-9).all()
+
+    def brute(text):
+        tids = sorted(oracle.term_to_id[t] for t in text.split()
+                      if t in oracle.term_to_id)
+        tscore = {tid: {doc: float(oracle.bm25_weight(tf, doc,
+                                                      oracle.df[tid]))
+                        for doc, tf in oracle.postings[tid]}
+                  for tid in tids}
+        revealed = set()
+        for r in range(1, min(2, len(tids)) + 1):
+            for sub in itertools.combinations(tids, r):
+                per_doc = None
+                for tid in sub:
+                    m = tscore[tid]
+                    per_doc = (dict(m) if per_doc is None else
+                               {doc: s + m[doc]
+                                for doc, s in per_doc.items() if doc in m})
+                topd = sorted(per_doc.items(),
+                              key=lambda kv: (-kv[1], kv[0]))[:d]
+                for doc, _s in topd:
+                    for tid in sub:
+                        revealed.add((doc, tid))
+        pool = {}
+        for doc, tid in revealed:
+            pool[doc] = pool.get(doc, 0.0) + tscore[tid][doc]
+        if len(pool) < k:
+            return -2.0
+        return sorted(pool.items(), key=lambda kv: (-kv[1], kv[0]))[k - 1][1]
+
+    for (_, text), est in zip(queries, got["est_threshold"]):
+        want = brute(text)
+        if want < 0:
+            assert est == want
+        else:
+            assert est == pytest.approx(want, rel=1e-6)
+
+
 def test_quantized_index(ray_session, tmp_path):
     """Quantized build: freqs hold 8-bit quantized impact scores; the
     quantized scorer reproduces a close top-k (reference: quantized index
