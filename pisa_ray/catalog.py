@@ -1684,10 +1684,51 @@ FROM est LEFT JOIN truek t USING (qid)"""
 
 # by-docid combine: every substructure's top-d conjunctive list feeds one
 # shared docid pool scored by per-doc MAX (kth_threshold_combine_did.cpp).
-# d is DERIVED from (TOPK, multiplier) so the tool's d_mult and the SQL's
-# rn <= d can never desync (same discipline as _SAMPLING_KPRIME)
+# d and the substructure size cap are DERIVED from single constants so
+# the tool arguments and the SQL mirrors can never desync (same
+# discipline as _SAMPLING_KPRIME)
 _COMBINE_D_MULT = 10
 _COMBINE_D = TOPK * _COMBINE_D_MULT
+_COMBINE_TC = 2  # terms_considered: max substructure/block/subset size
+
+# shared scaffolding of the four combine-family oracles: every variant
+# plugs its own `pool(qid, doc_id, cscore)` CTE chain between these two
+# fragments — the weight/query header and the k-th-of-pool (-2.0
+# sentinel) + true-threshold tail stay defined ONCE
+_COMBINE_SQL_HEAD = f"""w AS (
+    SELECT tf.term, tf.doc_id, {_BM25_WEIGHT_SQL} AS weight
+    FROM tf JOIN df ON tf.term = df.term
+    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+),
+qterms AS (SELECT DISTINCT qid, term FROM q),
+qids AS (SELECT DISTINCT qid FROM q)"""
+
+_COMBINE_SQL_TAIL = f"""rpool AS (
+    SELECT qid, cscore,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cscore DESC, doc_id) AS rn
+    FROM pool
+),
+estk AS (SELECT qid, cscore AS e FROM rpool WHERE rn = {TOPK}),
+est AS (SELECT qids.qid, COALESCE(e.e, -2.0) AS e
+        FROM qids LEFT JOIN estk e USING (qid)),
+scored_full AS (
+    SELECT qt.qid, w.doc_id, sum(w.weight) AS score
+    FROM qterms qt JOIN w USING (term)
+    GROUP BY qt.qid, w.doc_id
+),
+ranked_full AS (
+    SELECT qid, score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, doc_id) AS rn
+    FROM scored_full
+),
+truek AS (SELECT qid, score AS true_t FROM ranked_full WHERE rn = {TOPK})
+SELECT est.qid,
+       round(est.e, 6) AS est_threshold,
+       round(COALESCE(t.true_t, 0.0), 6) AS true_threshold,
+       (est.e <= COALESCE(t.true_t, 0.0) + 1e-9) AS safe
+FROM est LEFT JOIN truek t USING (qid)"""
 
 
 def q_kth_threshold_combine(sf_dir: str) -> pd.DataFrame:
@@ -1699,7 +1740,7 @@ def q_kth_threshold_combine(sf_dir: str) -> pd.DataFrame:
     eng = _engine(sf_dir)
     df = kth_threshold_combine(
         eng, [(qid, " ".join(ts)) for qid, ts in QUERY_SET], k=TOPK,
-        terms_considered=2, d_mult=_COMBINE_D_MULT)
+        terms_considered=_COMBINE_TC, d_mult=_COMBINE_D_MULT)
     # this corpus's near-saturated-df query terms weight ~1e-6: 6 decimals
     # keeps the estimates visible (4 would collapse everything to 0.0)
     df["est_threshold"] = _round_match(df["est_threshold"].to_numpy(), 6)
@@ -1709,13 +1750,7 @@ def q_kth_threshold_combine(sf_dir: str) -> pd.DataFrame:
 
 SQL_KTH_THRESHOLD_COMBINE = f"""WITH {_TF_CTES},
 {_values_queries()},
-w AS (
-    SELECT tf.term, tf.doc_id, {_BM25_WEIGHT_SQL} AS weight
-    FROM tf JOIN df ON tf.term = df.term
-    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
-),
-qterms AS (SELECT DISTINCT qid, term FROM q),
-qids AS (SELECT DISTINCT qid FROM q),
+{_COMBINE_SQL_HEAD},
 rw AS (
     SELECT term, doc_id, weight,
            row_number() OVER (PARTITION BY term
@@ -1748,32 +1783,7 @@ pool AS (
     FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
     GROUP BY qid, doc_id
 ),
-rpool AS (
-    SELECT qid, cscore,
-           row_number() OVER (PARTITION BY qid
-                              ORDER BY cscore DESC, doc_id) AS rn
-    FROM pool
-),
-estk AS (SELECT qid, cscore AS e FROM rpool WHERE rn = {TOPK}),
-est AS (SELECT qids.qid, COALESCE(e.e, -2.0) AS e
-        FROM qids LEFT JOIN estk e USING (qid)),
-scored_full AS (
-    SELECT qt.qid, w.doc_id, sum(w.weight) AS score
-    FROM qterms qt JOIN w USING (term)
-    GROUP BY qt.qid, w.doc_id
-),
-ranked_full AS (
-    SELECT qid, score,
-           row_number() OVER (PARTITION BY qid
-                              ORDER BY score DESC, doc_id) AS rn
-    FROM scored_full
-),
-truek AS (SELECT qid, score AS true_t FROM ranked_full WHERE rn = {TOPK})
-SELECT est.qid,
-       round(est.e, 6) AS est_threshold,
-       round(COALESCE(t.true_t, 0.0), 6) AS true_threshold,
-       (est.e <= COALESCE(t.true_t, 0.0) + 1e-9) AS safe
-FROM est LEFT JOIN truek t USING (qid)"""
+{_COMBINE_SQL_TAIL}"""
 
 
 def q_kth_threshold_combine_term(sf_dir: str) -> pd.DataFrame:
@@ -1793,13 +1803,7 @@ def q_kth_threshold_combine_term(sf_dir: str) -> pd.DataFrame:
 
 SQL_KTH_THRESHOLD_COMBINE_TERM = f"""WITH {_TF_CTES},
 {_values_queries()},
-w AS (
-    SELECT tf.term, tf.doc_id, {_BM25_WEIGHT_SQL} AS weight
-    FROM tf JOIN df ON tf.term = df.term
-    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
-),
-qterms AS (SELECT DISTINCT qid, term FROM q),
-qids AS (SELECT DISTINCT qid FROM q),
+{_COMBINE_SQL_HEAD},
 rw AS (
     SELECT term, doc_id, weight,
            row_number() OVER (PARTITION BY term
@@ -1812,32 +1816,7 @@ pool AS (
     SELECT qid, doc_id, sum(weight) AS cscore
     FROM s1 GROUP BY qid, doc_id
 ),
-rpool AS (
-    SELECT qid, cscore,
-           row_number() OVER (PARTITION BY qid
-                              ORDER BY cscore DESC, doc_id) AS rn
-    FROM pool
-),
-estk AS (SELECT qid, cscore AS e FROM rpool WHERE rn = {TOPK}),
-est AS (SELECT qids.qid, COALESCE(e.e, -2.0) AS e
-        FROM qids LEFT JOIN estk e USING (qid)),
-scored_full AS (
-    SELECT qt.qid, w.doc_id, sum(w.weight) AS score
-    FROM qterms qt JOIN w USING (term)
-    GROUP BY qt.qid, w.doc_id
-),
-ranked_full AS (
-    SELECT qid, score,
-           row_number() OVER (PARTITION BY qid
-                              ORDER BY score DESC, doc_id) AS rn
-    FROM scored_full
-),
-truek AS (SELECT qid, score AS true_t FROM ranked_full WHERE rn = {TOPK})
-SELECT est.qid,
-       round(est.e, 6) AS est_threshold,
-       round(COALESCE(t.true_t, 0.0), 6) AS true_threshold,
-       (est.e <= COALESCE(t.true_t, 0.0) + 1e-9) AS safe
-FROM est LEFT JOIN truek t USING (qid)"""
+{_COMBINE_SQL_TAIL}"""
 
 
 def _values_slicings(max_block: int = 2) -> str:
@@ -1869,7 +1848,8 @@ def q_kth_threshold_intersection(sf_dir: str) -> pd.DataFrame:
     eng = _engine(sf_dir)
     df = kth_threshold_combine(
         eng, [(qid, " ".join(ts)) for qid, ts in QUERY_SET], k=TOPK,
-        terms_considered=2, d_mult=_COMBINE_D_MULT, combine="slicing")
+        terms_considered=_COMBINE_TC, d_mult=_COMBINE_D_MULT,
+        combine="slicing")
     df["est_threshold"] = _round_match(df["est_threshold"].to_numpy(), 6)
     df["true_threshold"] = _round_match(df["true_threshold"].to_numpy(), 6)
     return df[["qid", "est_threshold", "true_threshold", "safe"]]
@@ -1877,14 +1857,8 @@ def q_kth_threshold_intersection(sf_dir: str) -> pd.DataFrame:
 
 SQL_KTH_THRESHOLD_INTERSECTION = f"""WITH {_TF_CTES},
 {_values_queries()},
-{_values_slicings()},
-w AS (
-    SELECT tf.term, tf.doc_id, {_BM25_WEIGHT_SQL} AS weight
-    FROM tf JOIN df ON tf.term = df.term
-    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
-),
-qterms AS (SELECT DISTINCT qid, term FROM q),
-qids AS (SELECT DISTINCT qid FROM q),
+{_values_slicings(_COMBINE_TC)},
+{_COMBINE_SQL_HEAD},
 blk AS (SELECT qid, sid, bid, count(*) AS bsz FROM slc GROUP BY 1, 2, 3),
 bdoc AS (
     SELECT s.qid, s.sid, s.bid, w.doc_id,
@@ -1906,32 +1880,7 @@ rbd AS (
 sdoc AS (SELECT qid, sid, doc_id, sum(bscore) AS sscore
          FROM rbd WHERE rn <= {_COMBINE_D} GROUP BY 1, 2, 3),
 pool AS (SELECT qid, doc_id, max(sscore) AS cscore FROM sdoc GROUP BY 1, 2),
-rpool AS (
-    SELECT qid, cscore,
-           row_number() OVER (PARTITION BY qid
-                              ORDER BY cscore DESC, doc_id) AS rn
-    FROM pool
-),
-estk AS (SELECT qid, cscore AS e FROM rpool WHERE rn = {TOPK}),
-est AS (SELECT qids.qid, COALESCE(e.e, -2.0) AS e
-        FROM qids LEFT JOIN estk e USING (qid)),
-scored_full AS (
-    SELECT qt.qid, w.doc_id, sum(w.weight) AS score
-    FROM qterms qt JOIN w USING (term)
-    GROUP BY qt.qid, w.doc_id
-),
-ranked_full AS (
-    SELECT qid, score,
-           row_number() OVER (PARTITION BY qid
-                              ORDER BY score DESC, doc_id) AS rn
-    FROM scored_full
-),
-truek AS (SELECT qid, score AS true_t FROM ranked_full WHERE rn = {TOPK})
-SELECT est.qid,
-       round(est.e, 6) AS est_threshold,
-       round(COALESCE(t.true_t, 0.0), 6) AS true_threshold,
-       (est.e <= COALESCE(t.true_t, 0.0) + 1e-9) AS safe
-FROM est LEFT JOIN truek t USING (qid)"""
+{_COMBINE_SQL_TAIL}"""
 
 
 def _values_combinations(max_r: int = 2) -> str:
@@ -1963,7 +1912,8 @@ def q_kth_threshold_existence(sf_dir: str) -> pd.DataFrame:
     eng = _engine(sf_dir)
     df = kth_threshold_combine(
         eng, [(qid, " ".join(ts)) for qid, ts in QUERY_SET], k=TOPK,
-        terms_considered=2, d_mult=_COMBINE_D_MULT, combine="existence")
+        terms_considered=_COMBINE_TC, d_mult=_COMBINE_D_MULT,
+        combine="existence")
     df["est_threshold"] = _round_match(df["est_threshold"].to_numpy(), 6)
     df["true_threshold"] = _round_match(df["true_threshold"].to_numpy(), 6)
     return df[["qid", "est_threshold", "true_threshold", "safe"]]
@@ -1971,14 +1921,8 @@ def q_kth_threshold_existence(sf_dir: str) -> pd.DataFrame:
 
 SQL_KTH_THRESHOLD_EXISTENCE = f"""WITH {_TF_CTES},
 {_values_queries()},
-{_values_combinations()},
-w AS (
-    SELECT tf.term, tf.doc_id, {_BM25_WEIGHT_SQL} AS weight
-    FROM tf JOIN df ON tf.term = df.term
-    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
-),
-qterms AS (SELECT DISTINCT qid, term FROM q),
-qids AS (SELECT DISTINCT qid FROM q),
+{_values_combinations(_COMBINE_TC)},
+{_COMBINE_SQL_HEAD},
 cblk AS (SELECT qid, cid, count(*) AS csz FROM cmb GROUP BY 1, 2),
 cdoc AS (
     SELECT c.qid, c.cid, w.doc_id,
@@ -2008,32 +1952,7 @@ pool AS (
     JOIN w ON w.term = r.term AND w.doc_id = r.doc_id
     GROUP BY r.qid, r.doc_id
 ),
-rpool AS (
-    SELECT qid, cscore,
-           row_number() OVER (PARTITION BY qid
-                              ORDER BY cscore DESC, doc_id) AS rn
-    FROM pool
-),
-estk AS (SELECT qid, cscore AS e FROM rpool WHERE rn = {TOPK}),
-est AS (SELECT qids.qid, COALESCE(e.e, -2.0) AS e
-        FROM qids LEFT JOIN estk e USING (qid)),
-scored_full AS (
-    SELECT qt.qid, w.doc_id, sum(w.weight) AS score
-    FROM qterms qt JOIN w USING (term)
-    GROUP BY qt.qid, w.doc_id
-),
-ranked_full AS (
-    SELECT qid, score,
-           row_number() OVER (PARTITION BY qid
-                              ORDER BY score DESC, doc_id) AS rn
-    FROM scored_full
-),
-truek AS (SELECT qid, score AS true_t FROM ranked_full WHERE rn = {TOPK})
-SELECT est.qid,
-       round(est.e, 6) AS est_threshold,
-       round(COALESCE(t.true_t, 0.0), 6) AS true_threshold,
-       (est.e <= COALESCE(t.true_t, 0.0) + 1e-9) AS safe
-FROM est LEFT JOIN truek t USING (qid)"""
+{_COMBINE_SQL_TAIL}"""
 
 
 _SIM_RATE, _SIM_TARGET_O = 0.5, 0.1

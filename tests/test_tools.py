@@ -184,8 +184,6 @@ def test_kth_threshold_combine_term(toolbox):
     """By-term SUM combine (kth_threshold_budget_combine_term.cpp): safe,
     dominates the single-term max-of-kth bound (positive weights make the
     per-doc sum >= any component), matches brute force."""
-    import itertools
-
     from pisa_ray.tools import (kth_threshold_combine,
                                 kth_threshold_estimate)
 
@@ -230,8 +228,6 @@ def test_kth_threshold_combine_slicing(toolbox):
     safe, dominates BOTH other combiners (the all-singles slicing
     reproduces 'sum'; a subset's own slicing dominates 'max'), matches a
     brute-force partition enumeration."""
-    import itertools
-
     from pisa_ray.tools import _set_partitions, kth_threshold_combine
 
     eng, oracle, out = toolbox
