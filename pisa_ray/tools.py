@@ -493,9 +493,90 @@ def _doc_max(docs_list, scores_list):
     return alld[first], alls[first]
 
 
+def build_substructure_cache(index_dir: str, grams, *, k: int = 10,
+                             d_mult: int = 10, out_dir: Optional[str] = None,
+                             concurrency: int = 4,
+                             batch_size: int = 64):
+    """Ray job: precompute substructure top-d score lists — the fork's
+    offline "first-layer index" that its score_generator / lookup tools
+    write and read (``kth_threshold_origional_score_generator.cpp``, the
+    ``single/duplet/triplet_prefix`` caches of
+    ``kth_threshold_combine_did_new.cpp:380-430``).
+
+    ``grams``: iterable of term-id tuples (singles, pairs, triples, …).
+    One actor-pool ``map_batches`` over the gram list: each actor loads
+    the index ONCE (``__init__``), computes each gram's conjunctive top-d
+    (score desc, docid asc) and emits (gram, n, doc_id, score) rows.
+    With ``out_dir`` the cache persists as Parquet partitioned by gram
+    size ``n`` (the reference's per-gram-size prefix files).  Returns the
+    Dataset (or the re-read Dataset when persisted)."""
+    import pyarrow as pa
+    import ray.data
+
+    d = k * d_mult
+    gram_strs = ["-".join(str(int(t)) for t in g) for g in grams]
+    ds = ray.data.from_arrow(pa.table({
+        "gram": pa.array(gram_strs, type=pa.string())}))
+
+    class Builder:
+        def __init__(self):
+            self.eng = QueryEngine(index_dir)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_g, out_n, out_d, out_s = [], [], [], []
+            for gs in batch["gram"].to_pylist():
+                tids = tuple(int(x) for x in gs.split("-"))
+                docs, scores = _substructure_doc_topd(self.eng, tids, d)
+                out_g.extend([gs] * len(docs))
+                out_n.extend([len(tids)] * len(docs))
+                out_d.append(docs)
+                out_s.append(scores)
+            docs = (np.concatenate(out_d) if out_d
+                    else np.empty(0, dtype=np.int64))
+            scores = (np.concatenate(out_s) if out_s
+                      else np.empty(0, dtype=np.float64))
+            return pa.table({
+                "gram": pa.array(out_g, type=pa.string()),
+                "n": pa.array(out_n, type=pa.int32()),
+                "doc_id": pa.array(docs.astype(np.int64), type=pa.int64()),
+                "score": pa.array(scores.astype(np.float64),
+                                  type=pa.float64()),
+            })
+
+    cache_ds = ds.map_batches(Builder, batch_format="pyarrow",
+                              concurrency=concurrency,
+                              batch_size=batch_size)
+    if out_dir:
+        cache_ds.write_parquet(out_dir, partition_cols=["n"])
+        return ray.data.read_parquet(out_dir)
+    return cache_ds
+
+
+def load_substructure_cache(cache_ds) -> Dict[Tuple[int, ...],
+                                              Tuple[np.ndarray, np.ndarray]]:
+    """Materialize a substructure-cache Dataset (or Parquet path) into the
+    {term-id tuple: (docs, scores)} form ``kth_threshold_combine`` takes
+    via ``cache=`` — list order (score desc, docid asc) is restored from
+    the stored columns, so Parquet row order doesn't matter."""
+    if isinstance(cache_ds, str):
+        import ray.data
+
+        cache_ds = ray.data.read_parquet(cache_ds)
+    df = cache_ds.to_pandas()
+    out: Dict[Tuple[int, ...], Tuple[np.ndarray, np.ndarray]] = {}
+    for gs, grp in df.groupby("gram"):
+        docs = grp["doc_id"].to_numpy().astype(np.int64)
+        scores = grp["score"].to_numpy().astype(np.float64)
+        order = np.lexsort((docs, -scores))
+        key = tuple(int(x) for x in gs.split("-"))
+        out[key] = (docs[order], scores[order])
+    return out
+
+
 def kth_threshold_combine(engine: QueryEngine, queries, *, k: int = 10,
                           terms_considered: int = 2, d_mult: int = 10,
-                          combine: str = "max") -> pd.DataFrame:
+                          combine: str = "max",
+                          cache: Optional[Dict] = None) -> pd.DataFrame:
     """By-docid substructure combination — the one algorithmically distinct
     member of the fork's kth_threshold family
     (``/root/reference/tools/kth_threshold_combine_did.cpp:182-215,346-390``).
@@ -542,14 +623,22 @@ def kth_threshold_combine(engine: QueryEngine, queries, *, k: int = 10,
     the sum over the DISTINCT terms revealed for it by ANY substructure.
     The tightest combiner of the family (it unions every slicing's
     revealed contributions) and still safe: each term counts at most once
-    with its true score, so the sum is ≤ the full disjunctive score."""
+    with its true score, so the sum is ≤ the full disjunctive score.
+
+    ``cache``: a prebuilt {term-id tuple: (docs, scores)} substructure
+    store (:func:`build_substructure_cache` +
+    :func:`load_substructure_cache`) — the fork's LOOKUP mode, where the
+    offline first-layer index is consulted instead of computing
+    conjunctions at estimation time; missing grams fall back to on-the-fly
+    computation."""
     if combine not in ("max", "sum", "slicing", "existence"):
         raise ValueError(
             "combine must be 'max', 'sum', 'slicing' or 'existence', "
             f"got {combine!r}")
     d = k * d_mult
-    cache: Dict[Tuple[int, ...], Tuple[np.ndarray, np.ndarray]] = {}
+    cache = dict(cache) if cache else {}
     rows = []
+
     def cached(subset):
         if subset not in cache:
             cache[subset] = _substructure_doc_topd(engine, subset, d)

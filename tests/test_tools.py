@@ -336,6 +336,47 @@ def test_kth_threshold_combine_existence(toolbox):
             assert est == pytest.approx(want, rel=1e-6)
 
 
+def test_substructure_cache_build_and_lookup(toolbox, ray_session,
+                                             tmp_path):
+    """The distributed first-layer-index builder (score_generator
+    capability): cached gram lists match on-the-fly computation
+    bit-for-bit, persist/reload through partitioned Parquet, and feeding
+    them to kth_threshold_combine (the lookup mode) reproduces the
+    on-the-fly estimates exactly."""
+    import itertools
+
+    from pisa_ray.tools import (_substructure_doc_topd,
+                                build_substructure_cache,
+                                kth_threshold_combine,
+                                load_substructure_cache)
+
+    eng, oracle, out = toolbox
+    queries = [("q1", "thehot term001"), ("q2", "term001 term005 thehot")]
+    k, d_mult = 5, 2
+    tids = sorted({t for _, text in queries
+                   for t in eng.parse_query(text)[0]})
+    grams = [(t,) for t in tids] + list(itertools.combinations(tids, 2))
+    cache_ds = build_substructure_cache(
+        out, grams, k=k, d_mult=d_mult,
+        out_dir=str(tmp_path / "flidx"), concurrency=2)
+    cache = load_substructure_cache(cache_ds)
+    assert set(cache) == set(grams)
+    for g in grams:
+        docs, scores = _substructure_doc_topd(eng, g, k * d_mult)
+        assert np.array_equal(cache[g][0], docs), g
+        assert np.array_equal(cache[g][1], scores), g
+    # reload from the Parquet path too
+    cache2 = load_substructure_cache(str(tmp_path / "flidx"))
+    assert set(cache2) == set(grams)
+    for mode in ("max", "sum", "slicing", "existence"):
+        live = kth_threshold_combine(eng, queries, k=k, d_mult=d_mult,
+                                     combine=mode)
+        looked = kth_threshold_combine(eng, queries, k=k, d_mult=d_mult,
+                                       combine=mode, cache=cache2)
+        assert (live["est_threshold"].to_numpy()
+                == looked["est_threshold"].to_numpy()).all(), mode
+
+
 def test_quantized_index(ray_session, tmp_path):
     """Quantized build: freqs hold 8-bit quantized impact scores; the
     quantized scorer reproduces a close top-k (reference: quantized index
