@@ -717,6 +717,69 @@ def kth_threshold_combine(engine: QueryEngine, queries, *, k: int = 10,
     return pd.DataFrame(rows)
 
 
+def estimated_k(true_scores: np.ndarray, est: float) -> int:
+    """The fork's estimated-k metric
+    (``kth_threshold_combine_did.cpp:381-390``): the rank a threshold
+    estimate would admit in the true (descending) result list — the first
+    position i with score[i] ≥ est ≥ score[i+1], reported as i+2; the
+    list length's rank when the estimate is below every score."""
+    s = np.asarray(true_scores, dtype=np.float64)
+    if len(s) < 2:
+        return len(s)
+    hit = np.flatnonzero((s[:-1] >= est) & (s[1:] <= est))
+    return int(hit[0]) + 2 if len(hit) else len(s)
+
+
+def kth_threshold_real_world(engine: QueryEngine, queries, *, k: int = 10,
+                             combine: str = "existence",
+                             terms_considered: int = 2, d_mult: int = 10,
+                             cache: Optional[Dict] = None,
+                             result_mult: int = 100,
+                             tolerance: float = 0.1) -> Tuple[pd.DataFrame,
+                                                              Dict]:
+    """The fork's real-world experiment harness
+    (``kth_threshold_origional_real_world.cpp``,
+    ``kth_threshold_sampling_simulator_real_world.cpp``): run a combine
+    estimator over a query LOG (pass the parsed (qid, text) pairs — the
+    TREC/AOL/plain readers in ``pisa_ray.io.parsers`` / the CLI produce
+    them) and report the Hit-Ratio-Project metrics: per-query estimate,
+    true threshold, the estimated-k rank the estimate admits in the true
+    top-(k·result_mult) list (their topk_queue(k*1000) probe), and
+    aggregate safe/hit ratios.
+
+    Returns (per-query DataFrame(qid, est_threshold, true_threshold,
+    safe, est_k), summary dict with n, safe_ratio, hit_ratio — estimates
+    within ``tolerance`` relative of the true threshold — and
+    mean_rel_err over queries with a positive true threshold)."""
+    df = kth_threshold_combine(engine, queries, k=k,
+                               terms_considered=terms_considered,
+                               d_mult=d_mult, combine=combine, cache=cache)
+    est_ks = []
+    for (qid, text), est in zip(queries, df["est_threshold"]):
+        if est < 0:
+            est_ks.append(-2)
+            continue
+        results = engine.run(text, k=k * result_mult)
+        est_ks.append(estimated_k(
+            np.asarray([s for s, _d in results]), float(est)))
+    df = df.copy()
+    df["est_k"] = np.asarray(est_ks, dtype=np.int64)
+    pos = df["true_threshold"].to_numpy() > 0
+    est = df["est_threshold"].to_numpy()
+    true = df["true_threshold"].to_numpy()
+    rel = np.zeros(len(df))
+    rel[pos] = np.abs(est[pos] - true[pos]) / true[pos]
+    summary = {
+        "n": int(len(df)),
+        "safe_ratio": float(df["safe"].mean()) if len(df) else 1.0,
+        "hit_ratio": float(((rel <= tolerance) & pos & (est >= 0)).sum()
+                           / max(1, int(pos.sum()))),
+        "mean_rel_err": float(rel[pos & (est >= 0)].mean())
+        if (pos & (est >= 0)).any() else 0.0,
+    }
+    return df, summary
+
+
 class _CountingCursor:
     """Cursor wrapper counting scored postings — instrumentation for the
     threshold-lookup pipeline's work accounting."""

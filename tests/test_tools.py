@@ -377,6 +377,33 @@ def test_substructure_cache_build_and_lookup(toolbox, ray_session,
                 == looked["est_threshold"].to_numpy()).all(), mode
 
 
+def test_kth_threshold_real_world(toolbox, tmp_path):
+    """Real-world harness: query-log file -> estimates + estimated-k +
+    hit ratios; estimated_k matches the reference's scan semantics."""
+    from pisa_ray.cli import _parse_query_file
+    from pisa_ray.tools import estimated_k, kth_threshold_real_world
+
+    eng, oracle, out = toolbox
+    qf = tmp_path / "queries.txt"
+    qf.write_text("q1:thehot term001\nq2:term001 term005 thehot\n"
+                  "q3:term000\n")
+    queries = _parse_query_file(str(qf))
+    df, summary = kth_threshold_real_world(eng, queries, k=5, d_mult=2)
+    assert list(df["qid"]) == ["q1", "q2", "q3"]
+    assert df["safe"].all()
+    assert summary["n"] == 3
+    assert summary["safe_ratio"] == 1.0
+    assert 0.0 <= summary["hit_ratio"] <= 1.0
+    # a safe estimator's estimate admits rank >= k (it never overshoots
+    # into the true top-(k-1))
+    assert (df.loc[df["est_k"] > 0, "est_k"] >= 5).all()
+    # estimated_k reference semantics on a hand case
+    s = np.array([5.0, 4.0, 3.0, 2.0, 1.0])
+    assert estimated_k(s, 3.5) == 3   # s[1]=4 >= 3.5 >= s[2]=3 -> i+2
+    assert estimated_k(s, 5.0) == 2   # s[0] >= 5 >= s[1] -> 2
+    assert estimated_k(s, 0.5) == 5   # below all -> list length
+
+
 def test_quantized_index(ray_session, tmp_path):
     """Quantized build: freqs hold 8-bit quantized impact scores; the
     quantized scorer reproduces a close top-k (reference: quantized index
