@@ -557,7 +557,14 @@ def load_substructure_cache(cache_ds) -> Dict[Tuple[int, ...],
     """Materialize a substructure-cache Dataset (or Parquet path) into the
     {term-id tuple: (docs, scores)} form ``kth_threshold_combine`` takes
     via ``cache=`` — list order (score desc, docid asc) is restored from
-    the stored columns, so Parquet row order doesn't matter."""
+    the stored columns, so Parquet row order doesn't matter.
+
+    Scale note: this is a per-SERVER lookup structure (like the engine's
+    lexicon) — memory is |grams|·d rows, loaded once per estimator
+    process, NOT per query.  At web scale, load only the gram sizes a
+    deployment consults (the Parquet is partitioned by ``n``) or shard
+    the gram space across estimator actors; the builder itself is fully
+    distributed and never materializes on the driver."""
     if isinstance(cache_ds, str):
         import ray.data
 
