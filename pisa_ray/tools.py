@@ -508,13 +508,18 @@ def build_substructure_cache(index_dir: str, grams, *, k: int = 10,
     the index ONCE (``__init__``), computes each gram's conjunctive top-d
     (score desc, docid asc) and emits (gram, n, doc_id, score) rows.
     With ``out_dir`` the cache persists as Parquet partitioned by gram
-    size ``n`` (the reference's per-gram-size prefix files).  Returns the
-    Dataset (or the re-read Dataset when persisted)."""
+    size ``n`` (the reference's per-gram-size prefix files); an existing
+    out_dir is CLEARED first — Ray's write_parquet appends uniquely-named
+    files, and stale rows from a previous build would duplicate docs and
+    silently break the combiners' safety invariant.  Every row carries
+    the build's ``d`` so the loader can reject a depth-mismatched cache.
+    Returns the Dataset (or the re-read Dataset when persisted)."""
     import pyarrow as pa
     import ray.data
 
     d = k * d_mult
-    gram_strs = ["-".join(str(int(t)) for t in g) for g in grams]
+    gram_strs = list(dict.fromkeys(
+        "-".join(str(int(t)) for t in g) for g in grams))
     ds = ray.data.from_arrow(pa.table({
         "gram": pa.array(gram_strs, type=pa.string())}))
 
@@ -541,23 +546,36 @@ def build_substructure_cache(index_dir: str, grams, *, k: int = 10,
                 "doc_id": pa.array(docs.astype(np.int64), type=pa.int64()),
                 "score": pa.array(scores.astype(np.float64),
                                   type=pa.float64()),
+                "d": pa.array(np.full(len(docs), d, dtype=np.int32),
+                              type=pa.int32()),
             })
 
     cache_ds = ds.map_batches(Builder, batch_format="pyarrow",
                               concurrency=concurrency,
                               batch_size=batch_size)
     if out_dir:
+        import os
+        import shutil
+
+        if os.path.exists(out_dir):
+            shutil.rmtree(out_dir)
         cache_ds.write_parquet(out_dir, partition_cols=["n"])
         return ray.data.read_parquet(out_dir)
     return cache_ds
 
 
-def load_substructure_cache(cache_ds) -> Dict[Tuple[int, ...],
-                                              Tuple[np.ndarray, np.ndarray]]:
+def load_substructure_cache(cache_ds, expect_d: Optional[int] = None
+                            ) -> Dict[Tuple[int, ...],
+                                      Tuple[np.ndarray, np.ndarray]]:
     """Materialize a substructure-cache Dataset (or Parquet path) into the
     {term-id tuple: (docs, scores)} form ``kth_threshold_combine`` takes
     via ``cache=`` — list order (score desc, docid asc) is restored from
-    the stored columns, so Parquet row order doesn't matter.
+    the stored columns, so Parquet row order doesn't matter.  Duplicate
+    (gram, doc_id) rows (e.g. a cache directory merged by hand) keep the
+    best score, preserving the combiners' safety invariant.
+    ``expect_d``: raise if the cache was built at a different list depth
+    (pass the lookup call's k·d_mult; a shallower cache would silently
+    weaken estimates, a deeper one change them vs on-the-fly mode).
 
     Scale note: this is a per-SERVER lookup structure (like the engine's
     lexicon) — memory is |grams|·d rows, loaded once per estimator
@@ -570,10 +588,23 @@ def load_substructure_cache(cache_ds) -> Dict[Tuple[int, ...],
 
         cache_ds = ray.data.read_parquet(cache_ds)
     df = cache_ds.to_pandas()
+    if expect_d is not None and "d" in df.columns and len(df):
+        ds_vals = set(int(x) for x in df["d"].unique())
+        if ds_vals != {int(expect_d)}:
+            raise ValueError(
+                f"substructure cache built at d={sorted(ds_vals)}, "
+                f"lookup expects d={expect_d} — rebuild the cache or "
+                "match k·d_mult")
     out: Dict[Tuple[int, ...], Tuple[np.ndarray, np.ndarray]] = {}
     for gs, grp in df.groupby("gram"):
         docs = grp["doc_id"].to_numpy().astype(np.int64)
         scores = grp["score"].to_numpy().astype(np.float64)
+        # doc-primary (score desc within doc) -> keep each doc's best row
+        order = np.lexsort((-scores, docs))
+        docs, scores = docs[order], scores[order]
+        keep = np.ones(len(docs), dtype=bool)
+        keep[1:] = docs[1:] != docs[:-1]
+        docs, scores = docs[keep], scores[keep]
         order = np.lexsort((docs, -scores))
         key = tuple(int(x) for x in gs.split("-"))
         out[key] = (docs[order], scores[order])
@@ -649,7 +680,13 @@ def kth_threshold_combine(engine: QueryEngine, queries, *, k: int = 10,
     def cached(subset):
         if subset not in cache:
             cache[subset] = _substructure_doc_topd(engine, subset, d)
-        return cache[subset]
+            return cache[subset]
+        sd, ss = cache[subset]
+        # a prebuilt store may have been generated deeper than this
+        # call's d — truncating keeps lookup ≡ on-the-fly (a SHALLOWER
+        # store can't be detected here; load_substructure_cache's
+        # expect_d raises on that)
+        return (sd[:d], ss[:d]) if len(sd) > d else (sd, ss)
 
     term_cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
 
@@ -658,6 +695,14 @@ def kth_threshold_combine(engine: QueryEngine, queries, *, k: int = 10,
             term_cache[tid] = _term_doc_scores(engine, int(tid))
         td, ts = term_cache[tid]
         pos = np.searchsorted(td, docs)
+        # a prebuilt cache from a different index could reference docs
+        # this term never matches — searchsorted would silently read a
+        # NEIGHBOR's score; fail loudly instead
+        bad = (pos >= len(td)) | (td[np.minimum(pos, len(td) - 1)] != docs)
+        if bad.any():
+            raise ValueError(
+                f"substructure cache references doc(s) absent from term "
+                f"{tid}'s postings (stale cache for this index?)")
         return ts[pos]
 
     for qid, text in queries:
@@ -741,23 +786,32 @@ def kth_threshold_real_world(engine: QueryEngine, queries, *, k: int = 10,
                              combine: str = "existence",
                              terms_considered: int = 2, d_mult: int = 10,
                              cache: Optional[Dict] = None,
-                             result_mult: int = 100,
+                             result_mult: int = 1000,
                              tolerance: float = 0.1) -> Tuple[pd.DataFrame,
                                                               Dict]:
     """The fork's real-world experiment harness
     (``kth_threshold_origional_real_world.cpp``,
     ``kth_threshold_sampling_simulator_real_world.cpp``): run a combine
-    estimator over a query LOG (pass the parsed (qid, text) pairs — the
-    TREC/AOL/plain readers in ``pisa_ray.io.parsers`` / the CLI produce
-    them) and report the Hit-Ratio-Project metrics: per-query estimate,
-    true threshold, the estimated-k rank the estimate admits in the true
-    top-(k·result_mult) list (their topk_queue(k*1000) probe), and
+    estimator over a query LOG — pass (qid, text) pairs, e.g.
+    ``cli._parse_query_file`` output, or pairs you build from the
+    TREC/AOL readers in ``pisa_ray.io.parsers`` (those return
+    topic dicts / raw strings, not pairs) — and report the
+    Hit-Ratio-Project metrics: per-query estimate, true threshold, the
+    estimated-k rank the estimate admits in the true
+    top-(k·result_mult) list (result_mult=1000 matches the reference's
+    ``topk_queue(k * 1000)`` probe; lower it to bound work on huge
+    logs — est_k then saturates at the truncated list length), and
     aggregate safe/hit ratios.
 
     Returns (per-query DataFrame(qid, est_threshold, true_threshold,
     safe, est_k), summary dict with n, safe_ratio, hit_ratio — estimates
     within ``tolerance`` relative of the true threshold — and
     mean_rel_err over queries with a positive true threshold)."""
+    queries = list(queries)  # iterated twice (estimates, then est_k runs)
+    # NOTE: the true threshold inside kth_threshold_combine duplicates
+    # the first k of the big est_k run below; kept separate because the
+    # top-k threshold pass is pruning-cheap next to the top-(k·mult) run,
+    # and seeding the big run with it would truncate the est_k list
     df = kth_threshold_combine(engine, queries, k=k,
                                terms_considered=terms_considered,
                                d_mult=d_mult, combine=combine, cache=cache)

@@ -365,9 +365,12 @@ def test_substructure_cache_build_and_lookup(toolbox, ray_session,
         docs, scores = _substructure_doc_topd(eng, g, k * d_mult)
         assert np.array_equal(cache[g][0], docs), g
         assert np.array_equal(cache[g][1], scores), g
-    # reload from the Parquet path too
-    cache2 = load_substructure_cache(str(tmp_path / "flidx"))
+    # reload from the Parquet path too, with the depth guard
+    cache2 = load_substructure_cache(str(tmp_path / "flidx"),
+                                     expect_d=k * d_mult)
     assert set(cache2) == set(grams)
+    with pytest.raises(ValueError, match="built at d"):
+        load_substructure_cache(str(tmp_path / "flidx"), expect_d=99)
     for mode in ("max", "sum", "slicing", "existence"):
         live = kth_threshold_combine(eng, queries, k=k, d_mult=d_mult,
                                      combine=mode)
@@ -375,6 +378,33 @@ def test_substructure_cache_build_and_lookup(toolbox, ray_session,
                                        combine=mode, cache=cache2)
         assert (live["est_threshold"].to_numpy()
                 == looked["est_threshold"].to_numpy()).all(), mode
+    # rebuild into the SAME out_dir (cleared, not appended) and with
+    # duplicate grams in the input: loader sees no duplicated rows
+    cache_ds2 = build_substructure_cache(
+        out, grams + grams[:2], k=k, d_mult=d_mult,
+        out_dir=str(tmp_path / "flidx"), concurrency=2)
+    df2 = cache_ds2.to_pandas()
+    assert not df2.duplicated(["gram", "doc_id"]).any()
+    # a DEEPER cache truncates to the lookup's d -> estimates identical
+    deep = build_substructure_cache(out, grams, k=k, d_mult=d_mult * 2,
+                                    concurrency=2)
+    deep_cache = load_substructure_cache(deep)
+    for mode in ("max", "slicing"):
+        live = kth_threshold_combine(eng, queries, k=k, d_mult=d_mult,
+                                     combine=mode)
+        looked = kth_threshold_combine(eng, queries, k=k, d_mult=d_mult,
+                                       combine=mode, cache=deep_cache)
+        assert (live["est_threshold"].to_numpy()
+                == looked["est_threshold"].to_numpy()).all(), mode
+    # a stale cache referencing docs outside the index fails LOUDLY in
+    # existence mode (searchsorted would otherwise read a neighbor)
+    t0 = grams[0]
+    stale = dict(cache2)
+    stale[t0] = (np.array([10**9], dtype=np.int64),
+                 np.array([1.0]))
+    with pytest.raises(ValueError, match="absent from term"):
+        kth_threshold_combine(eng, queries[:1], k=k, d_mult=d_mult,
+                              combine="existence", cache=stale)
 
 
 def test_kth_threshold_real_world(toolbox, tmp_path):
@@ -388,7 +418,9 @@ def test_kth_threshold_real_world(toolbox, tmp_path):
     qf.write_text("q1:thehot term001\nq2:term001 term005 thehot\n"
                   "q3:term000\n")
     queries = _parse_query_file(str(qf))
-    df, summary = kth_threshold_real_world(eng, queries, k=5, d_mult=2)
+    # generator input works (the harness iterates twice internally)
+    df, summary = kth_threshold_real_world(eng, iter(queries), k=5,
+                                           d_mult=2)
     assert list(df["qid"]) == ["q1", "q2", "q3"]
     assert df["safe"].all()
     assert summary["n"] == 3
