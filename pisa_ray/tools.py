@@ -787,8 +787,10 @@ def kth_threshold_real_world(engine: QueryEngine, queries, *, k: int = 10,
                              terms_considered: int = 2, d_mult: int = 10,
                              cache: Optional[Dict] = None,
                              result_mult: int = 1000,
-                             tolerance: float = 0.1) -> Tuple[pd.DataFrame,
-                                                              Dict]:
+                             tolerance: float = 0.1,
+                             index_dir: Optional[str] = None,
+                             concurrency: int = 4) -> Tuple[pd.DataFrame,
+                                                            Dict]:
     """The fork's real-world experiment harness
     (``kth_threshold_origional_real_world.cpp``,
     ``kth_threshold_sampling_simulator_real_world.cpp``): run a combine
@@ -806,7 +808,14 @@ def kth_threshold_real_world(engine: QueryEngine, queries, *, k: int = 10,
     Returns (per-query DataFrame(qid, est_threshold, true_threshold,
     safe, est_k), summary dict with n, safe_ratio, hit_ratio — estimates
     within ``tolerance`` relative of the true threshold — and
-    mean_rel_err over queries with a positive true threshold)."""
+    mean_rel_err over queries with a positive true threshold).
+
+    ``index_dir``: fan the top-(k·result_mult) est_k probes across the
+    serving actor pool (``run_queries``) instead of a driver loop — the
+    scale path for big query logs (the per-query rank scan then runs
+    inside a distributed groupby; only (qid, est_k) returns).  The
+    estimate pass itself stays driver-side like the sibling estimator
+    tools (serving-kernel convention)."""
     queries = list(queries)  # iterated twice (estimates, then est_k runs)
     # NOTE: the true threshold inside kth_threshold_combine duplicates
     # the first k of the big est_k run below; kept separate because the
@@ -815,14 +824,38 @@ def kth_threshold_real_world(engine: QueryEngine, queries, *, k: int = 10,
     df = kth_threshold_combine(engine, queries, k=k,
                                terms_considered=terms_considered,
                                d_mult=d_mult, combine=combine, cache=cache)
-    est_ks = []
-    for (qid, text), est in zip(queries, df["est_threshold"]):
-        if est < 0:
-            est_ks.append(-2)
-            continue
-        results = engine.run(text, k=k * result_mult)
-        est_ks.append(estimated_k(
-            np.asarray([s for s, _d in results]), float(est)))
+    est_by_qid = {qid: float(est)
+                  for (qid, _t), est in zip(queries, df["est_threshold"])}
+    if index_dir is not None:
+        from pisa_ray.query.engine import run_queries
+
+        probe = [(qid, text) for qid, text in queries
+                 if est_by_qid[qid] >= 0]
+        ek_map: Dict = {}
+        if probe:
+            res = run_queries(probe, index_dir, k=k * result_mult,
+                              concurrency=concurrency)
+
+            def grp(g: pd.DataFrame) -> pd.DataFrame:
+                qid = g["qid"].iloc[0]
+                s = g.sort_values("rank")["score"].to_numpy()
+                return pd.DataFrame({
+                    "qid": [qid],
+                    "est_k": [estimated_k(s, est_by_qid[qid])]})
+
+            ek = res.groupby("qid").map_groups(
+                grp, batch_format="pandas").to_pandas()
+            ek_map = dict(zip(ek["qid"], ek["est_k"]))
+        est_ks = [int(ek_map.get(qid, -2)) for qid, _t in queries]
+    else:
+        est_ks = []
+        for (qid, text), est in zip(queries, df["est_threshold"]):
+            if est < 0:
+                est_ks.append(-2)
+                continue
+            results = engine.run(text, k=k * result_mult)
+            est_ks.append(estimated_k(
+                np.asarray([s for s, _d in results]), float(est)))
     df = df.copy()
     df["est_k"] = np.asarray(est_ks, dtype=np.int64)
     pos = df["true_threshold"].to_numpy() > 0

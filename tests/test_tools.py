@@ -434,6 +434,12 @@ def test_kth_threshold_real_world(toolbox, tmp_path):
     assert estimated_k(s, 3.5) == 3   # s[1]=4 >= 3.5 >= s[2]=3 -> i+2
     assert estimated_k(s, 5.0) == 2   # s[0] >= 5 >= s[1] -> 2
     assert estimated_k(s, 0.5) == 5   # below all -> list length
+    # the distributed est_k path (serving actor pool) agrees with the
+    # driver loop, including the -2 passthrough for OOV queries
+    ddf, dsum = kth_threshold_real_world(eng, queries, k=5, d_mult=2,
+                                         index_dir=out, concurrency=2)
+    assert (ddf["est_k"].to_numpy() == df["est_k"].to_numpy()).all()
+    assert dsum == summary
 
 
 def test_quantized_index(ray_session, tmp_path):
