@@ -588,7 +588,12 @@ def load_substructure_cache(cache_ds, expect_d: Optional[int] = None
 
         cache_ds = ray.data.read_parquet(cache_ds)
     df = cache_ds.to_pandas()
-    if expect_d is not None and "d" in df.columns and len(df):
+    if expect_d is not None and len(df):
+        if "d" not in df.columns:
+            raise ValueError(
+                "substructure cache has no 'd' column (built by an older "
+                "builder) — its depth cannot be verified; rebuild it or "
+                "load without expect_d")
         ds_vals = set(int(x) for x in df["d"].unique())
         if ds_vals != {int(expect_d)}:
             raise ValueError(
@@ -599,12 +604,8 @@ def load_substructure_cache(cache_ds, expect_d: Optional[int] = None
     for gs, grp in df.groupby("gram"):
         docs = grp["doc_id"].to_numpy().astype(np.int64)
         scores = grp["score"].to_numpy().astype(np.float64)
-        # doc-primary (score desc within doc) -> keep each doc's best row
-        order = np.lexsort((-scores, docs))
-        docs, scores = docs[order], scores[order]
-        keep = np.ones(len(docs), dtype=bool)
-        keep[1:] = docs[1:] != docs[:-1]
-        docs, scores = docs[keep], scores[keep]
+        # keep each doc's best row (dedup), then (score desc, doc asc)
+        docs, scores = _doc_max([docs], [scores])
         order = np.lexsort((docs, -scores))
         key = tuple(int(x) for x in gs.split("-"))
         out[key] = (docs[order], scores[order])
@@ -694,10 +695,14 @@ def kth_threshold_combine(engine: QueryEngine, queries, *, k: int = 10,
         if tid not in term_cache:
             term_cache[tid] = _term_doc_scores(engine, int(tid))
         td, ts = term_cache[tid]
-        pos = np.searchsorted(td, docs)
         # a prebuilt cache from a different index could reference docs
         # this term never matches — searchsorted would silently read a
-        # NEIGHBOR's score; fail loudly instead
+        # NEIGHBOR's score; fail loudly instead (incl. empty postings)
+        if len(td) == 0:
+            raise ValueError(
+                f"substructure cache references doc(s) but term {tid} "
+                "has no postings here (stale cache for this index?)")
+        pos = np.searchsorted(td, docs)
         bad = (pos >= len(td)) | (td[np.minimum(pos, len(td) - 1)] != docs)
         if bad.any():
             raise ValueError(
@@ -789,8 +794,9 @@ def kth_threshold_real_world(engine: QueryEngine, queries, *, k: int = 10,
                              result_mult: int = 1000,
                              tolerance: float = 0.1,
                              index_dir: Optional[str] = None,
-                             concurrency: int = 4) -> Tuple[pd.DataFrame,
-                                                            Dict]:
+                             concurrency: int = 4,
+                             probe_kwargs: Optional[Dict] = None
+                             ) -> Tuple[pd.DataFrame, Dict]:
     """The fork's real-world experiment harness
     (``kth_threshold_origional_real_world.cpp``,
     ``kth_threshold_sampling_simulator_real_world.cpp``): run a combine
@@ -815,7 +821,13 @@ def kth_threshold_real_world(engine: QueryEngine, queries, *, k: int = 10,
     scale path for big query logs (the per-query rank scan then runs
     inside a distributed groupby; only (qid, est_k) returns).  The
     estimate pass itself stays driver-side like the sibling estimator
-    tools (serving-kernel convention)."""
+    tools (serving-kernel convention).  Scale-path requirements, checked
+    loudly: qids must be UNIQUE strings (the probe groups by qid; the
+    driver loop has neither constraint).  If the ``engine`` was built
+    with non-default scorer/analyzer overrides, pass the same overrides
+    via ``probe_kwargs`` so the pool actors score identically.  The
+    per-query estimate table ships with each probe task (one float per
+    probed query); shard the harness itself for logs where that matters."""
     queries = list(queries)  # iterated twice (estimates, then est_k runs)
     # NOTE: the true threshold inside kth_threshold_combine duplicates
     # the first k of the big est_k run below; kept separate because the
@@ -829,19 +841,32 @@ def kth_threshold_real_world(engine: QueryEngine, queries, *, k: int = 10,
     if index_dir is not None:
         from pisa_ray.query.engine import run_queries
 
+        if len(est_by_qid) != len(queries):
+            raise ValueError(
+                "duplicate qids in the query log — the distributed est_k "
+                "path groups results by qid; dedup the log or use the "
+                "driver path (index_dir=None)")
+        if not all(isinstance(qid, str) for qid, _t in queries):
+            raise ValueError(
+                "the distributed est_k path requires string qids "
+                "(the probe's Arrow schema); stringify them or use the "
+                "driver path")
         probe = [(qid, text) for qid, text in queries
                  if est_by_qid[qid] >= 0]
+        # only the probed queries' estimates ride with the group tasks
+        probe_est = {qid: est_by_qid[qid] for qid, _t in probe}
         ek_map: Dict = {}
         if probe:
             res = run_queries(probe, index_dir, k=k * result_mult,
-                              concurrency=concurrency)
+                              concurrency=concurrency,
+                              **(probe_kwargs or {}))
 
             def grp(g: pd.DataFrame) -> pd.DataFrame:
                 qid = g["qid"].iloc[0]
                 s = g.sort_values("rank")["score"].to_numpy()
                 return pd.DataFrame({
                     "qid": [qid],
-                    "est_k": [estimated_k(s, est_by_qid[qid])]})
+                    "est_k": [estimated_k(s, probe_est[qid])]})
 
             ek = res.groupby("qid").map_groups(
                 grp, batch_format="pandas").to_pandas()

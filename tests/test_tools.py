@@ -440,6 +440,13 @@ def test_kth_threshold_real_world(toolbox, tmp_path):
                                          index_dir=out, concurrency=2)
     assert (ddf["est_k"].to_numpy() == df["est_k"].to_numpy()).all()
     assert dsum == summary
+    # the scale path validates its preconditions loudly
+    with pytest.raises(ValueError, match="duplicate qids"):
+        kth_threshold_real_world(eng, queries + queries[:1], k=5,
+                                 d_mult=2, index_dir=out)
+    with pytest.raises(ValueError, match="string qids"):
+        kth_threshold_real_world(eng, [(1, "thehot term001")], k=5,
+                                 d_mult=2, index_dir=out)
 
 
 def test_quantized_index(ray_session, tmp_path):
