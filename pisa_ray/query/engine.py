@@ -38,9 +38,17 @@ class QueryEngine:
                  score_dtype: Optional[str] = None,
                  analyzer: Optional[AnalyzerConfig] = None,
                  doc_range: Optional[Tuple[int, int]] = None):
-        from pisa_ray.utils import ensure_malloc_tuned
+        import os
 
-        ensure_malloc_tuned()  # serving actors allocate per-query scratch
+        from pisa_ray.utils import ensure_malloc_tuned, in_ray_worker
+
+        # serving ACTORS allocate per-query scratch → tune their arena;
+        # driver-side engines (every tools.py estimator builds one) stay
+        # untuned so drivers/tests don't retain up to ~256 MiB of arena
+        # RSS (round-4 advice).  PISA_RAY_MALLOC_TUNE=1 forces tuning for
+        # a driver that IS the serving process (single-process deploys).
+        if in_ray_worker() or os.environ.get("PISA_RAY_MALLOC_TUNE"):
+            ensure_malloc_tuned()
         self.index = InvertedIndex(index_dir, doc_range=doc_range)
         cfg = self.index.config
         # A quantized index stores precomputed impacts, not term frequencies;

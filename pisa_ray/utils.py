@@ -64,6 +64,23 @@ _MAP_POPULATE = 0x8000  # linux mmap flag
 _malloc_tuned = False
 
 
+def in_ray_worker() -> bool:
+    """True iff this process is a Ray WORKER (task/actor), not the driver.
+
+    Used to keep worker-only side effects (malloc tuning) off the driver:
+    every tools.py estimator constructs a ``QueryEngine`` on the driver,
+    and tuning there re-introduces the retained-RSS cost the refactor
+    moved off import specifically to spare drivers and tests."""
+    try:
+        import ray
+
+        if not ray.is_initialized():
+            return False
+        return ray.get_runtime_context().worker.mode == ray.WORKER_MODE
+    except Exception:
+        return False
+
+
 def ensure_malloc_tuned() -> None:
     """Keep large numpy buffers on the reused heap instead of mmap —
     called from hot-path WORKER setup (analyzer cache, ``alloc_array``),

@@ -606,3 +606,114 @@ def test_kth_threshold_simulator(toolbox):
     kp = int(df.loc[0, "k_prime"])
     want = sampled[kp - 1] if len(sampled) >= kp else 0.0
     assert df.loc[0, "est_threshold"] == want
+
+
+def test_substructure_cache_guards_and_pruning(toolbox, ray_session,
+                                               tmp_path):
+    """Round-5 hardening: the rebuild rmtree only fires on directories
+    that prove they are a prior cache; expect_d on an empty/missing cache
+    raises instead of silently validating; gram_sizes prunes at the
+    ``n=`` partition level."""
+    import itertools
+    import os
+
+    from pisa_ray.tools import (build_substructure_cache,
+                                load_substructure_cache)
+
+    eng, oracle, out = toolbox
+    tids = sorted({t for text in ("thehot term001", "term005")
+                   for t in eng.parse_query(text)[0]})
+    grams = [(t,) for t in tids] + list(itertools.combinations(tids, 2))
+    cdir = tmp_path / "c1"
+    build_substructure_cache(out, grams, k=5, d_mult=2,
+                             out_dir=str(cdir), concurrency=2)
+    # marker written; a rebuild into the same dir is allowed
+    assert (cdir / "_pisa_ray_substructure_cache.json").exists()
+    build_substructure_cache(out, grams[:2], k=5, d_mult=2,
+                             out_dir=str(cdir), concurrency=2)
+    # a directory that is NOT a prior cache refuses to be cleared
+    precious = tmp_path / "precious"
+    precious.mkdir()
+    (precious / "data.parquet").write_text("not a cache")
+    with pytest.raises(ValueError, match="refusing to clear"):
+        build_substructure_cache(out, grams[:1], k=5, d_mult=2,
+                                 out_dir=str(precious), concurrency=2)
+    assert (precious / "data.parquet").exists()
+    # empty cache + expect_d must raise, not silently pass the guard
+    cdir2 = tmp_path / "c2"
+    build_substructure_cache(out, grams, k=5, d_mult=2,
+                             out_dir=str(cdir2), concurrency=2)
+    with pytest.raises(ValueError, match="no n="):
+        load_substructure_cache(str(cdir2), expect_d=10, gram_sizes=[7])
+    # gram_sizes prunes at the read: only the requested sizes come back
+    singles = load_substructure_cache(str(cdir2), expect_d=10,
+                                      gram_sizes=[1])
+    assert singles and all(len(g) == 1 for g in singles)
+    assert os.path.isdir(str(cdir2 / "n=1"))
+    full = load_substructure_cache(str(cdir2), expect_d=10)
+    for g, (docs, scores) in singles.items():
+        assert (full[g][0] == docs).all() and (full[g][1] == scores).all()
+
+
+def test_substructure_cache_sharded_lookup(toolbox, ray_session, tmp_path):
+    """ShardedSubstructureCache: shard actors hold disjoint hash slices
+    whose union is the full gram set, lookups match the dict loader, and
+    kth_threshold_combine through the sharded cache reproduces the
+    on-the-fly estimates for every combiner."""
+    import itertools
+
+    from pisa_ray.tools import (ShardedSubstructureCache,
+                                build_substructure_cache,
+                                kth_threshold_combine,
+                                load_substructure_cache)
+
+    eng, oracle, out = toolbox
+    queries = [("q1", "thehot term001"), ("q2", "term001 term005 thehot")]
+    k, d_mult = 5, 2
+    tids = sorted({t for _, text in queries
+                   for t in eng.parse_query(text)[0]})
+    grams = [(t,) for t in tids] + list(itertools.combinations(tids, 2))
+    cdir = tmp_path / "shards"
+    build_substructure_cache(out, grams, k=k, d_mult=d_mult,
+                             out_dir=str(cdir), concurrency=2)
+    full = load_substructure_cache(str(cdir), expect_d=k * d_mult)
+    sharded = ShardedSubstructureCache(str(cdir), num_shards=3,
+                                       expect_d=k * d_mult)
+    assert sharded.n_grams == len(full) == len(grams)
+    for g, (docs, scores) in full.items():
+        got = sharded.lookup(g)
+        assert got is not None, g
+        assert (got[0] == docs).all() and (got[1] == scores).all()
+    assert sharded.lookup((10 ** 6,)) is None  # miss -> on-the-fly
+    for mode in ("max", "sum", "slicing", "existence"):
+        live = kth_threshold_combine(eng, queries, k=k, d_mult=d_mult,
+                                     combine=mode)
+        looked = kth_threshold_combine(eng, queries, k=k, d_mult=d_mult,
+                                       combine=mode, cache=sharded)
+        assert (live["est_threshold"].to_numpy()
+                == looked["est_threshold"].to_numpy()).all(), mode
+    # depth guard works through the sharded path too (constructors
+    # that raise clean up their actors)
+    with pytest.raises(ValueError, match="built at d"):
+        ShardedSubstructureCache(str(cdir), num_shards=2, expect_d=99)
+    with pytest.raises(ValueError, match="EMPTY"):
+        ShardedSubstructureCache(str(cdir), num_shards=2, expect_d=99,
+                                 gram_sizes=[9])
+    sharded.shutdown()
+
+
+def test_slicing_term_cap(toolbox):
+    """combine='slicing' degrades to the -2.0 sentinel past
+    slicing_max_terms (the reference tabulates only 2-5 terms); below the
+    cap estimates are unchanged."""
+    from pisa_ray.tools import kth_threshold_combine
+
+    eng, oracle, _ = toolbox
+    long_q = [("q1", "thehot term001 term005 term007")]  # 4 distinct terms
+    capped = kth_threshold_combine(eng, long_q, k=5, d_mult=2,
+                                   combine="slicing", slicing_max_terms=3)
+    assert capped["est_threshold"].iloc[0] == -2.0
+    assert capped["safe"].all()
+    uncapped = kth_threshold_combine(eng, long_q, k=5, d_mult=2,
+                                     combine="slicing")
+    assert uncapped["est_threshold"].iloc[0] > 0
