@@ -1052,6 +1052,228 @@ def kth_threshold_combine(engine: QueryEngine, queries, *, k: int = 10,
     return pd.DataFrame(rows)
 
 
+_WIRE_MANIFEST = "_pisa_ray_wire_manifest.json"
+
+
+def export_substructure_cache_wire(engine: QueryEngine, cache: Dict,
+                                   out_dir: str, *,
+                                   scale: Optional[float] = None) -> Dict:
+    """Write a substructure cache in the C++ fork's BINARY prefix-file
+    wire format (the ``*_new`` lookup tools' on-disk layout, read at
+    ``kth_threshold_combine_did_new.cpp:380-425``):
+
+    per gram size ``n``, three files —
+    ``n{n}_prefix``      binary; each gram's region is ``[int32 LE
+                         header][records…]`` (the reader skips the 4-byte
+                         header: ``cur_pos = start_pos + 4``; we store the
+                         record count there), record = ``int32 LE docid``
+                         + ``n × uint8`` per-term quantized scores (the
+                         reader sums the bytes into a ``short``).
+    ``n{n}_lexicon.txt`` one ``"{start} {end}"`` byte-offset line per
+                         gram (``load_lexicon``'s two ``stoll`` fields).
+    ``n{n}_grams.txt``   the gram term-id strings ("t1 t2 …"), one per
+                         line, in lexicon line order (``load_lexicon``
+                         walks both files in lockstep).
+
+    Quantization: ``byte = floor(term_score / scale)`` clamped to 255,
+    with ``scale`` defaulting to ``max_term_score / 255`` over the terms
+    present (the fork's globally-quantized wand data) — floor keeps every
+    stored contribution ≤ the true score, so estimates computed from an
+    imported cache stay SAFE.  ``scale`` and the depth are recorded in a
+    JSON manifest so ``import_substructure_cache_wire`` round-trips
+    without the engine.  Records are written in the cache's (score desc,
+    docid asc) list order — the reader consumes the first ``d``
+    sequentially.  Docids must fit int32 (the reader's ``int``); raises
+    otherwise."""
+    import json
+    import os
+    import struct
+
+    os.makedirs(out_dir, exist_ok=True)
+    terms = sorted({int(t) for g in cache for t in g})
+    tscores: Dict[int, Tuple[np.ndarray, np.ndarray]] = {
+        t: _term_doc_scores(engine, t) for t in terms}
+    if scale is None:
+        mx = max((float(ts[1].max()) for ts in tscores.values()
+                  if len(ts[1])), default=1.0)
+        scale = mx / 255.0 if mx > 0 else 1.0
+    by_n: Dict[int, List[Tuple[Tuple[int, ...], np.ndarray, np.ndarray]]] \
+        = {}
+    for g in sorted(cache):
+        docs, _scores = cache[g]
+        if len(docs) and int(docs.max()) > np.iinfo(np.int32).max:
+            raise ValueError(
+                f"gram {g}: docid {int(docs.max())} exceeds int32 — the "
+                "fork's wire format stores 4-byte docids")
+        per_term = np.zeros((len(g), len(docs)), dtype=np.uint8)
+        for i, t in enumerate(g):
+            td, ts = tscores[int(t)]
+            pos = np.searchsorted(td, docs)
+            ok = (pos < len(td)) & (td[np.minimum(pos, len(td) - 1)]
+                                    == docs)
+            if not ok.all():
+                raise ValueError(
+                    f"gram {g} references doc(s) absent from term {t}'s "
+                    "postings (stale cache for this index?)")
+            q = np.floor(ts[pos] / scale)
+            per_term[i] = np.minimum(q, 255).astype(np.uint8)
+        by_n.setdefault(len(g), []).append((g, docs, per_term))
+    sizes = sorted(by_n)
+    for n in sizes:
+        with open(os.path.join(out_dir, f"n{n}_prefix"), "wb") as pfx, \
+                open(os.path.join(out_dir, f"n{n}_lexicon.txt"), "w") as lex, \
+                open(os.path.join(out_dir, f"n{n}_grams.txt"), "w") as gf:
+            pos = 0
+            for g, docs, per_term in by_n[n]:
+                rec = np.empty((len(docs), 4 + n), dtype=np.uint8)
+                rec[:, :4] = docs.astype("<i4").view(np.uint8) \
+                    .reshape(len(docs), 4)
+                rec[:, 4:] = per_term.T
+                payload = struct.pack("<i", len(docs)) + rec.tobytes()
+                pfx.write(payload)
+                lex.write(f"{pos} {pos + len(payload)}\n")
+                gf.write(" ".join(str(int(t)) for t in g) + "\n")
+                pos += len(payload)
+    with open(os.path.join(out_dir, _WIRE_MANIFEST), "w") as fh:
+        json.dump({"format": "pisa_ray.substructure_cache_wire",
+                   "scale": float(scale), "sizes": sizes,
+                   "n_grams": len(cache)}, fh)
+    return {"scale": float(scale), "sizes": sizes, "n_grams": len(cache)}
+
+
+def import_substructure_cache_wire(in_dir: str,
+                                   scale: Optional[float] = None
+                                   ) -> Dict[Tuple[int, ...],
+                                             Tuple[np.ndarray, np.ndarray]]:
+    """Read the fork's binary prefix-file layout (see
+    :func:`export_substructure_cache_wire`) back into the ``cache=`` dict
+    form.  Scores come back QUANTIZED — ``sum(bytes) · scale`` — exactly
+    what the fork's lookup tools compute (they sum the per-term bytes
+    into a ``short``); with floor quantization those are ≤ the true
+    scores, so combiner estimates stay safe.  Reads caches written by
+    this exporter OR by the C++ fork (pass ``scale`` explicitly then;
+    the fork's files carry no manifest)."""
+    import json
+    import os
+    import struct
+
+    man_path = os.path.join(in_dir, _WIRE_MANIFEST)
+    if scale is None:
+        if not os.path.exists(man_path):
+            raise ValueError(
+                f"no {_WIRE_MANIFEST} in {in_dir!r} — a fork-written "
+                "cache carries no manifest; pass scale= explicitly")
+        with open(man_path) as fh:
+            scale = float(json.load(fh)["scale"])
+    out: Dict[Tuple[int, ...], Tuple[np.ndarray, np.ndarray]] = {}
+    import re
+
+    for fname in sorted(os.listdir(in_dir)):
+        m = re.fullmatch(r"n(\d+)_prefix", fname)
+        if not m:
+            continue
+        n = int(m.group(1))
+        with open(os.path.join(in_dir, f"n{n}_grams.txt")) as gf:
+            grams = [tuple(int(x) for x in line.split())
+                     for line in gf if line.strip()]
+        with open(os.path.join(in_dir, f"n{n}_lexicon.txt")) as lex:
+            spans = [tuple(int(x) for x in line.split())
+                     for line in lex if line.strip()]
+        if len(grams) != len(spans):
+            raise ValueError(
+                f"n{n}: gram file has {len(grams)} entries but lexicon "
+                f"has {len(spans)} — corrupt cache")
+        with open(os.path.join(in_dir, fname), "rb") as pfx:
+            blob = pfx.read()
+        for g, (start, end) in zip(grams, spans):
+            count = struct.unpack_from("<i", blob, start)[0]
+            body = np.frombuffer(blob, dtype=np.uint8,
+                                 count=count * (4 + n),
+                                 offset=start + 4).reshape(count, 4 + n)
+            docs = body[:, :4].copy().view("<i4").ravel() \
+                .astype(np.int64)
+            qsum = body[:, 4:].astype(np.int64).sum(axis=1)
+            out[g] = (docs, qsum.astype(np.float64) * scale)
+            if start + 4 + count * (4 + n) != end:
+                raise ValueError(
+                    f"n{n} gram {g}: lexicon span does not match the "
+                    "record count — corrupt cache")
+    return out
+
+
+def kth_threshold_combine_distributed(index_dir: str, queries, *,
+                                      k: int = 10,
+                                      terms_considered: int = 2,
+                                      d_mult: int = 10,
+                                      combine: str = "max",
+                                      cache=None,
+                                      slicing_max_terms: int =
+                                      SLICING_MAX_TERMS,
+                                      concurrency: int = 4,
+                                      engine_kwargs: Optional[Dict] = None
+                                      ) -> pd.DataFrame:
+    """:func:`kth_threshold_combine` fanned over a Ray actor pool — the
+    scale path for big query logs (the reference's batch loop over an
+    AOL/TREC log, ``kth_threshold_origional_real_world.cpp``): each pool
+    actor loads the index ONCE (``__init__``), query batches stream
+    across the pool, and only (qid, est, true, safe) rows return.  Row
+    order matches the input log.  Results are bit-identical to the
+    driver-side loop (pinned in ``tests/test_tools.py``) because each
+    actor runs the same estimator against the same index.
+
+    ``cache``: a dict (``load_substructure_cache``) is ``ray.put`` ONCE
+    and read by every actor — broadcast, not re-shipped per batch; a
+    :class:`ShardedSubstructureCache` handle is shared by reference, so
+    pool actors consult the same shard actors (the no-copy path for a
+    cache bigger than one process).  ``engine_kwargs``: scorer/analyzer
+    overrides forwarded to each actor's ``QueryEngine``."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    queries = list(queries)
+    if not queries:
+        return pd.DataFrame(columns=["qid", "est_threshold",
+                                     "true_threshold", "safe"])
+    if not all(isinstance(qid, str) for qid, _t in queries):
+        raise ValueError(
+            "the distributed estimate pass requires string qids (the "
+            "Arrow schema); stringify them or use the driver path")
+    ds = ray.data.from_arrow(pa.table({
+        "qid": pa.array([q for q, _t in queries], type=pa.string()),
+        "text": pa.array([t for _q, t in queries], type=pa.string()),
+        "ord": pa.array(np.arange(len(queries), dtype=np.int64)),
+    }))
+    cache_ref = ray.put(cache) if isinstance(cache, dict) else None
+    shared = cache if (cache is not None
+                       and not isinstance(cache, dict)) else None
+    ekw = dict(engine_kwargs or {})
+
+    class Estimator:
+        def __init__(self):
+            self.eng = QueryEngine(index_dir, **ekw)
+            # per-actor COPY of the broadcast dict: kth_threshold_combine
+            # memoizes computed grams into it, which must not race
+            self.cache = (dict(ray.get(cache_ref))
+                          if cache_ref is not None else shared)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pairs = list(zip(batch["qid"].to_pylist(),
+                             batch["text"].to_pylist()))
+            df = kth_threshold_combine(
+                self.eng, pairs, k=k, terms_considered=terms_considered,
+                d_mult=d_mult, combine=combine, cache=self.cache,
+                slicing_max_terms=slicing_max_terms)
+            df["ord"] = batch["ord"].to_numpy(zero_copy_only=False)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = ds.map_batches(Estimator, batch_format="pyarrow",
+                         concurrency=concurrency).to_pandas()
+    out = (out.sort_values("ord").drop(columns=["ord"])
+           .reset_index(drop=True))
+    return out
+
+
 def estimated_k(true_scores: np.ndarray, est: float) -> int:
     """The fork's estimated-k metric
     (``kth_threshold_combine_did.cpp:381-390``): the rank a threshold
@@ -1094,32 +1316,23 @@ def kth_threshold_real_world(engine: QueryEngine, queries, *, k: int = 10,
     within ``tolerance`` relative of the true threshold — and
     mean_rel_err over queries with a positive true threshold).
 
-    ``index_dir``: fan the top-(k·result_mult) est_k probes across the
-    serving actor pool (``run_queries``) instead of a driver loop — the
-    scale path for big query logs (the per-query rank scan then runs
-    inside a distributed groupby; only (qid, est_k) returns).  The
-    estimate pass itself stays driver-side like the sibling estimator
-    tools (serving-kernel convention).  Scale-path requirements, checked
-    loudly: qids must be UNIQUE strings (the probe groups by qid; the
-    driver loop has neither constraint).  If the ``engine`` was built
-    with non-default scorer/analyzer overrides, pass the same overrides
-    via ``probe_kwargs`` so the pool actors score identically.  The
-    per-query estimate table ships with each probe task (one float per
-    probed query); shard the harness itself for logs where that matters."""
+    ``index_dir``: the SCALE path for big query logs — BOTH passes fan
+    across actor pools: the combine-estimate pass runs through
+    :func:`kth_threshold_combine_distributed` (one index load per actor,
+    query batches streamed, round-4 verdict task #2), and the
+    top-(k·result_mult) est_k probes run through the serving pool
+    (``run_queries``) with the per-query rank scan inside a distributed
+    groupby; only (qid, est, est_k) rows ever return to the driver.
+    Scale-path requirements, checked loudly: qids must be UNIQUE strings
+    (the probe groups by qid; the driver loop has neither constraint).
+    If the ``engine`` was built with non-default scorer/analyzer
+    overrides, pass the same overrides via ``probe_kwargs`` so the pool
+    actors score identically.  A dict ``cache`` is broadcast once via
+    ``ray.put``; a :class:`ShardedSubstructureCache` is consulted in
+    place by every pool actor."""
     queries = list(queries)  # iterated twice (estimates, then est_k runs)
-    # NOTE: the true threshold inside kth_threshold_combine duplicates
-    # the first k of the big est_k run below; kept separate because the
-    # top-k threshold pass is pruning-cheap next to the top-(k·mult) run,
-    # and seeding the big run with it would truncate the est_k list
-    df = kth_threshold_combine(engine, queries, k=k,
-                               terms_considered=terms_considered,
-                               d_mult=d_mult, combine=combine, cache=cache)
-    est_by_qid = {qid: float(est)
-                  for (qid, _t), est in zip(queries, df["est_threshold"])}
     if index_dir is not None:
-        from pisa_ray.query.engine import run_queries
-
-        if len(est_by_qid) != len(queries):
+        if len({qid for qid, _t in queries}) != len(queries):
             raise ValueError(
                 "duplicate qids in the query log — the distributed est_k "
                 "path groups results by qid; dedup the log or use the "
@@ -1129,6 +1342,24 @@ def kth_threshold_real_world(engine: QueryEngine, queries, *, k: int = 10,
                 "the distributed est_k path requires string qids "
                 "(the probe's Arrow schema); stringify them or use the "
                 "driver path")
+    # NOTE: the true threshold inside kth_threshold_combine duplicates
+    # the first k of the big est_k run below; kept separate because the
+    # top-k threshold pass is pruning-cheap next to the top-(k·mult) run,
+    # and seeding the big run with it would truncate the est_k list
+    if index_dir is not None:
+        df = kth_threshold_combine_distributed(
+            index_dir, queries, k=k, terms_considered=terms_considered,
+            d_mult=d_mult, combine=combine, cache=cache,
+            concurrency=concurrency, engine_kwargs=probe_kwargs)
+    else:
+        df = kth_threshold_combine(engine, queries, k=k,
+                                   terms_considered=terms_considered,
+                                   d_mult=d_mult, combine=combine,
+                                   cache=cache)
+    est_by_qid = {qid: float(est)
+                  for (qid, _t), est in zip(queries, df["est_threshold"])}
+    if index_dir is not None:
+        from pisa_ray.query.engine import run_queries
         probe = [(qid, text) for qid, text in queries
                  if est_by_qid[qid] >= 0]
         # only the probed queries' estimates ride with the group tasks

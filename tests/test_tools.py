@@ -717,3 +717,107 @@ def test_slicing_term_cap(toolbox):
     uncapped = kth_threshold_combine(eng, long_q, k=5, d_mult=2,
                                      combine="slicing")
     assert uncapped["est_threshold"].iloc[0] > 0
+
+
+def test_real_world_distributed_estimate_pass_1k(toolbox, ray_session):
+    """Round-4 verdict task #2: the combine-ESTIMATE pass of the
+    real-world harness is distributed when index_dir is given; pinned
+    bit-identical to the driver loop on a 1k-query log (estimates,
+    est_k, and summary)."""
+    from pisa_ray.tools import (kth_threshold_combine,
+                                kth_threshold_combine_distributed,
+                                kth_threshold_real_world)
+
+    eng, oracle, out = toolbox
+    rng = np.random.default_rng(42)
+    vocab = [f"term{i:03d}" for i in range(60)] + ["thehot", "zzznope"]
+    queries = [
+        (f"q{i:04d}", " ".join(rng.choice(vocab,
+                                          size=int(rng.integers(1, 5)))))
+        for i in range(1000)
+    ]
+    dist = kth_threshold_combine_distributed(out, queries, k=3, d_mult=2,
+                                             combine="max", concurrency=2)
+    drv = kth_threshold_combine(eng, queries, k=3, d_mult=2, combine="max")
+    assert list(dist["qid"]) == [q for q, _t in queries]
+    assert (dist["est_threshold"].to_numpy()
+            == drv["est_threshold"].to_numpy()).all()
+    assert (dist["true_threshold"].to_numpy()
+            == drv["true_threshold"].to_numpy()).all()
+    # full harness: driver vs distributed identical end-to-end (bounded
+    # result_mult keeps the probe pass cheap on the tiny fixture)
+    sub = queries[:200]
+    ddf, dsum = kth_threshold_real_world(eng, sub, k=3, d_mult=2,
+                                         combine="max", result_mult=10,
+                                         index_dir=out, concurrency=2)
+    vdf, vsum = kth_threshold_real_world(eng, sub, k=3, d_mult=2,
+                                         combine="max", result_mult=10)
+    assert (ddf["est_threshold"].to_numpy()
+            == vdf["est_threshold"].to_numpy()).all()
+    assert (ddf["est_k"].to_numpy() == vdf["est_k"].to_numpy()).all()
+    assert dsum == vsum
+
+
+def test_substructure_cache_wire_roundtrip(toolbox, ray_session, tmp_path):
+    """The C++ fork's binary prefix-file wire format
+    (kth_threshold_combine_did_new.cpp:380-425): export -> import -> the
+    imported cache is byte-stable (re-export identical), estimates from
+    it are deterministic across import passes, and floor quantization
+    keeps every combiner SAFE."""
+    import itertools
+    import os
+
+    from pisa_ray.tools import (build_substructure_cache,
+                                export_substructure_cache_wire,
+                                import_substructure_cache_wire,
+                                kth_threshold_combine,
+                                load_substructure_cache)
+
+    eng, oracle, out = toolbox
+    queries = [("q1", "thehot term001"), ("q2", "term001 term005 thehot")]
+    k, d_mult = 5, 2
+    tids = sorted({t for _, text in queries
+                   for t in eng.parse_query(text)[0]})
+    grams = [(t,) for t in tids] + list(itertools.combinations(tids, 2))
+    cds = build_substructure_cache(out, grams, k=k, d_mult=d_mult,
+                                   concurrency=2)
+    cache = load_substructure_cache(cds)
+    w1 = tmp_path / "wire1"
+    man = export_substructure_cache_wire(eng, cache, str(w1))
+    assert man["n_grams"] == len(grams) and man["sizes"] == [1, 2]
+    # reader-visible layout: prefix binary + lexicon offsets + gram list
+    assert (w1 / "n1_prefix").exists() and (w1 / "n2_lexicon.txt").exists()
+    imp1 = import_substructure_cache_wire(str(w1))
+    assert set(imp1) == set(cache)
+    for g in grams:
+        # docid lists and ORDER survive the round trip exactly
+        assert np.array_equal(imp1[g][0], cache[g][0]), g
+        # floor quantization: reconstructed scores never exceed the truth
+        assert (imp1[g][1] <= cache[g][1] + 1e-9).all(), g
+    # idempotent: export(import(export(x))) is byte-identical
+    w2 = tmp_path / "wire2"
+    export_substructure_cache_wire(eng, cache, str(w2),
+                                   scale=man["scale"])
+    for n in (1, 2):
+        b1 = (w1 / f"n{n}_prefix").read_bytes()
+        b2 = (w2 / f"n{n}_prefix").read_bytes()
+        assert b1 == b2
+        assert ((w1 / f"n{n}_lexicon.txt").read_text()
+                == (w2 / f"n{n}_lexicon.txt").read_text())
+    imp2 = import_substructure_cache_wire(str(w2))
+    # estimates from the imported (quantized) cache: deterministic across
+    # import passes and SAFE for every combiner
+    for mode in ("max", "sum", "slicing", "existence"):
+        a = kth_threshold_combine(eng, queries, k=k, d_mult=d_mult,
+                                  combine=mode, cache=imp1)
+        b = kth_threshold_combine(eng, queries, k=k, d_mult=d_mult,
+                                  combine=mode, cache=imp2)
+        assert (a["est_threshold"].to_numpy()
+                == b["est_threshold"].to_numpy()).all(), mode
+        assert a["safe"].all(), mode
+    # a fork-written cache has no manifest: scale is then required
+    os.remove(str(w2 / "_pisa_ray_wire_manifest.json"))
+    with pytest.raises(ValueError, match="pass scale"):
+        import_substructure_cache_wire(str(w2))
+    imp3 = import_substructure_cache_wire(str(w2), scale=man["scale"])
+    assert set(imp3) == set(imp1)
