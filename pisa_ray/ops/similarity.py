@@ -89,9 +89,19 @@ def ann_topk(ds, query_matrix: np.ndarray, query_ids, *, k: int = 10,
 
 def lsh_ann_topk(ds, query_matrix: np.ndarray, query_ids, *, k: int = 10,
                  n_planes: int = 12, seed: int = 11,
-                 vec_col: str = "embedding", id_col: str = "vec_id"):
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 round_decimals: Optional[int] = None):
     """Approximate top-k: random-hyperplane signatures bucket the vectors;
-    each query scans only its bucket (plus Hamming≤1 probes)."""
+    each query scans only its bucket (plus Hamming≤1 probes).
+
+    ``n_planes=1`` is PROVABLY EXACT: the code space is {0,1} and the
+    Hamming-1 probe covers the other bucket, so every query scans every
+    vector — result ≡ ``ann_topk`` (the SQL-oracled driver configuration;
+    approximate configs are pinned by the sf0.01 goldens).
+    ``round_decimals`` rounds sims half-away-from-zero BEFORE ranking
+    (``ann_topk`` semantics) so an exact config hashes against the
+    DuckDB oracle; None keeps raw float order (the golden-pinned
+    behavior)."""
     import ray
     import pandas as pd
 
@@ -166,9 +176,11 @@ def lsh_ann_topk(ds, query_matrix: np.ndarray, query_ids, *, k: int = 10,
         })
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["sim", "vec_id"],
-                              ascending=[False, True]).head(k)
-        g = g.copy()
+        g = group.copy()
+        if round_decimals is not None:
+            g["sim"] = round_half_away(g["sim"].to_numpy(), round_decimals)
+        g = g.sort_values(["sim", "vec_id"],
+                          ascending=[False, True]).head(k)
         g["rank"] = np.arange(1, len(g) + 1)
         return g[["qid", "rank", "vec_id", "sim"]]
 

@@ -42,7 +42,39 @@ def _simhash_xx(_sf):
     return simhash_pairs(_docs(), max_hamming=6)
 
 
-_GOLDEN_FNS = {"minhash_lsh_pairs": _minhash_xx, "simhash_pairs": _simhash_xx}
+def _embeddings():
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(SF_DIR, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+
+
+def _lsh_ann_approx(_sf):
+    # the APPROXIMATE configuration (n_planes=12, Hamming-1 probes) — the
+    # catalog entry moved to the provably-exact n_planes=1 config, which
+    # the driver now SQL-checks; the scale-path config stays golden-pinned
+    from pisa_ray.catalog import TOPK, _query_vectors
+    from pisa_ray.ops.similarity import lsh_ann_topk
+
+    qm, qids = _query_vectors(SF_DIR)
+    return lsh_ann_topk(_embeddings(), qm, qids, k=TOPK)
+
+
+def _ivf_ann_approx(_sf):
+    # the APPROXIMATE configuration (nprobe=4 of 16 cells) — same story
+    from pisa_ray.catalog import TOPK, _query_vectors
+    from pisa_ray.ops.similarity import ivf_ann_topk
+
+    qm, qids = _query_vectors(SF_DIR)
+    return ivf_ann_topk(_embeddings(), qm, qids, k=TOPK, n_centroids=16,
+                        nprobe=4)
+
+
+_GOLDEN_FNS = {"minhash_lsh_pairs": _minhash_xx,
+               "simhash_pairs": _simhash_xx,
+               "lsh_ann_topk": _lsh_ann_approx,
+               "ivf_ann_topk": _ivf_ann_approx}
 
 
 @pytest.mark.parametrize("name", [
