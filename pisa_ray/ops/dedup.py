@@ -30,9 +30,28 @@ import pyarrow.compute as pc
 
 from pisa_ray.utils import round_half_away
 
-# join fan-out used by the pair-verification joins; at real scale size this
-# to the cluster (it only affects the internal shuffle granularity)
-JOIN_PARTITIONS = 8
+import os
+
+# rows-per-partition target for the pair-verification hash joins — the
+# same data-proportional convention as the inversion exchange's
+# ROWS_PER_PARTITION (index/exchange.py): partition COUNT tracks data
+# volume, so one partition's rows fit a worker heap at any corpus size
+JOIN_ROWS_PER_PARTITION = int(os.environ.get(
+    "PISA_RAY_JOIN_ROWS_PER_PART", 2_000_000))
+
+
+def join_partitions(*row_counts) -> int:
+    """Hash-join fan-out ∝ known data volume: enough partitions that the
+    largest KNOWN join input lands ~JOIN_ROWS_PER_PARTITION rows per
+    partition, floored at 8 (small clusters still parallelize) and capped
+    at 4096 (shuffle-metadata overhead beyond that outweighs smaller
+    partitions).  Callers pass the row counts they already hold — the
+    candidate-pair count from ``materialize_nonempty``, a materialized
+    corpus's free ``count()`` — and omit sides whose count would cost an
+    extra execution pass; a slightly coarse fan-out beats re-running a
+    pipeline stage to measure it."""
+    n = max((int(r) for r in row_counts if r), default=0)
+    return max(8, min(4096, -(-n // JOIN_ROWS_PER_PARTITION)))
 
 
 def materialize_nonempty(ds, empty: "pa.Table"):
@@ -329,7 +348,7 @@ def ngram_jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.1,
             "jaccard": pa.array([], type=pa.float64())}))
 
     inter = inter.join(sizes_ds, join_type="inner",
-                       num_partitions=JOIN_PARTITIONS,
+                       num_partitions=join_partitions(n_cand),
                        on=("a",), right_on=("doc_id",), right_suffix="_a")
     inter = inter.rename_columns({"n_sh": "n_a"})
     # empty join partitions emit degenerate key+right-only blocks that
@@ -340,7 +359,7 @@ def ngram_jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.1,
         "inter": pa.array([], type=pa.int64()),
         "n_a": pa.array([], type=pa.int64())}))
     inter = inter.join(sizes_ds, join_type="inner",
-                       num_partitions=JOIN_PARTITIONS,
+                       num_partitions=join_partitions(n_cand),
                        on=("b",), right_on=("doc_id",), right_suffix="_b")
     inter = inter.rename_columns({"n_sh": "n_b"})
 
@@ -721,7 +740,7 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16, n: int = 3,
 
     sigb = sigs.map_batches(to_binary, batch_format="pyarrow")
     withsig = uniq.join(sigb, join_type="inner",
-                        num_partitions=JOIN_PARTITIONS,
+                        num_partitions=join_partitions(n_cand),
                         on=("a",), right_on=("doc_id",))
     withsig = withsig.rename_columns({"sigb": "sig_a"})
     # same degenerate-empty-partition hazard as minhash_jaccard_dups:
@@ -732,7 +751,7 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16, n: int = 3,
         "b": pa.array([], type=pa.int64()),
         "sig_a": pa.array([], type=pa.binary())}))
     withsig = withsig.join(sigb, join_type="inner",
-                           num_partitions=JOIN_PARTITIONS,
+                           num_partitions=join_partitions(n_cand),
                            on=("b",), right_on=("doc_id",))
     withsig = withsig.rename_columns({"sigb": "sig_b"})
 
@@ -808,7 +827,7 @@ def minhash_jaccard_dups(ds, *, num_perm: int = 64, bands: int = 16,
         lambda t: pa.table({"doc_id": pc.cast(t[id_col], pa.int64()),
                             "_text": t[text_col]}),
         batch_format="pyarrow")
-    wp = pairs.join(docs, join_type="inner", num_partitions=JOIN_PARTITIONS,
+    wp = pairs.join(docs, join_type="inner", num_partitions=join_partitions(n_cand),
                     on=("doc_a",), right_on=("doc_id",))
     wp = wp.rename_columns({"_text": "text_a"})
     # empty join partitions emit blocks with a degenerate key+right-side
@@ -820,7 +839,7 @@ def minhash_jaccard_dups(ds, *, num_perm: int = 64, bands: int = 16,
         "doc_b": pa.array([], type=pa.int64()),
         "est_jaccard": pa.array([], type=pa.float64()),
         "text_a": pa.array([], type=pa.string())}))
-    wp = wp.join(docs, join_type="inner", num_partitions=JOIN_PARTITIONS,
+    wp = wp.join(docs, join_type="inner", num_partitions=join_partitions(n_cand),
                  on=("doc_b",), right_on=("doc_id",))
     wp = wp.rename_columns({"_text": "text_b"})
     wp = drop_empty_blocks(wp, pa.table({

@@ -329,7 +329,7 @@ def _cosine_pairs_blocked(ds, threshold: float, plan: tuple, seed: int,
     import pyarrow.compute as _pc
 
     from pisa_ray.ops.dedup import (_COARSE_BITS, _emit_bucket_pairs,
-                                    _mix_rows_u64, JOIN_PARTITIONS)
+                                    _mix_rows_u64, join_partitions)
 
     r, L = plan
     nvecs = _norm_batch_fn(vec_col, id_col)
@@ -375,6 +375,7 @@ def _cosine_pairs_blocked(ds, threshold: float, plan: tuple, seed: int,
     # N×dim×8 bytes, which the object store spills as needed
     vecs = (ds.map_batches(nvecs, batch_format="pyarrow")
             .map_batches(pack, batch_format="pyarrow").materialize())
+    n_vecs = vecs.count()  # metadata-only on a materialized dataset
 
     banded = vecs.map_batches(band_rows, batch_format="pyarrow")
     pairs = banded.groupby("grp").map_groups(
@@ -399,7 +400,7 @@ def _cosine_pairs_blocked(ds, threshold: float, plan: tuple, seed: int,
             "vec_b": pa.array([], type=pa.int64()),
             "sim": pa.array([], type=pa.float64())}))
 
-    wp = uniq.join(vecs, join_type="inner", num_partitions=JOIN_PARTITIONS,
+    wp = uniq.join(vecs, join_type="inner", num_partitions=join_partitions(n_cand, n_vecs),
                    on=("a",), right_on=(id_col,))
     wp = wp.rename_columns({"vb": "vb_a"})
     # a join emits schema-less blocks for empty partitions too — scrub
@@ -408,7 +409,7 @@ def _cosine_pairs_blocked(ds, threshold: float, plan: tuple, seed: int,
         "a": pa.array([], type=pa.int64()),
         "b": pa.array([], type=pa.int64()),
         "vb_a": pa.array([], type=pa.binary())}))
-    wp = wp.join(vecs, join_type="inner", num_partitions=JOIN_PARTITIONS,
+    wp = wp.join(vecs, join_type="inner", num_partitions=join_partitions(n_cand, n_vecs),
                  on=("b",), right_on=(id_col,))
     wp = wp.rename_columns({"vb": "vb_b"})
 
