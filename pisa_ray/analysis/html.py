@@ -76,6 +76,13 @@ class _CleanTextParser(HTMLParser):
     def handle_pi(self, data: str) -> None:
         self._flush()
 
+    def unknown_decl(self, data: str) -> None:
+        # <![CDATA[...]]> outside foreign content is a bogus comment in
+        # HTML5 (gumbo drops it); like any markup it SPLITS text nodes —
+        # without this flush "a<![CDATA[x]]>b" would merge into one "ab"
+        # node while gumbo (and the fast path) yield "a b"
+        self._flush()
+
     def close(self) -> None:
         super().close()
         self._flush()
@@ -140,6 +147,24 @@ def html_to_text(html: Union[str, bytes]) -> str:
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", errors="replace")
     html = strip_http_headers(html)
+
+    # EOF inside an unterminated tag / comment / bogus comment: the HTML5
+    # tokenizer DROPS the construct (eof-in-tag, comment-to-EOF) — it
+    # never becomes text.  Truncated real-web pages end this way
+    # constantly; html.parser would instead replay the tail as character
+    # data.  A trailing "<" followed by anything else (space, digit, EOF)
+    # IS text per spec and is kept.  (Known corner: a page truncated
+    # inside <title>/<textarea> RCDATA containing a stray "<x" loses that
+    # tail; gumbo would keep it as RCDATA text.)
+    while True:
+        last_lt = html.rfind("<")
+        if last_lt == -1 or html.find(">", last_lt) != -1:
+            break
+        nxt = html[last_lt + 1: last_lt + 2]
+        if nxt and (nxt.isalpha() or nxt in "/!?"):
+            html = html[:last_lt]
+        else:
+            break
 
     last_lt = html.rfind("<")
     safe = (

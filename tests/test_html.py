@@ -93,6 +93,7 @@ def test_fast_path_fallback_cases():
     assert html_to_text("<p>a < b</p>") == "a < b"
     # quoted attr hiding '>' → slow path handles properly
     assert html_to_text('<a title="x>y">z</a>') == "z"
-    # unterminated tag at EOF → slow path (html.parser keeps the dangling
-    # fragment as text; the fast path must not be used here)
-    assert html_to_text("<p>ok</p><div foo") == "ok <div foo"
+    # unterminated tag at EOF: the HTML5 tokenizer DROPS the construct
+    # (eof-in-tag) — it never becomes text (round-5 parity fix; gumbo
+    # behaves the same on truncated pages)
+    assert html_to_text("<p>ok</p><div foo") == "ok"
