@@ -60,7 +60,11 @@ def cmd_build(args) -> int:
     from pisa_ray.index.build import IndexConfig, build_index
 
     _init_ray(args.num_cpus)
-    cols = [c for c in (args.url_col, args.html_col, args.text_col,
+    # default text column is "text" (build_index's default); include it
+    # in the pruned read or the analyze stage finds no text column when
+    # --text-col isn't given explicitly
+    text_col = args.text_col or (None if args.html_col else "text")
+    cols = [c for c in (args.url_col, args.html_col, text_col,
                         args.id_col) if c]
     corpus = ray.data.read_parquet(args.input, columns=cols or None)
     cfg = IndexConfig(
@@ -68,6 +72,8 @@ def cmd_build(args) -> int:
         token_filters=tuple(args.token_filters.split(",")) if
         args.token_filters else (),
         stopwords=tuple(_read_lines(args.stopwords)) if args.stopwords else (),
+        kstem_lexicon=args.kstem_lexicon,
+        kstem_exceptions=args.kstem_exceptions,
         scorer=args.scorer, codec=args.codec, block_size=args.block_size,
         num_shards=args.num_shards, exchange=args.exchange,
         quantize_bits=args.quantize_bits,
@@ -203,6 +209,14 @@ def main(argv=None) -> int:
     b.add_argument("--token-filters", default="lowercase",
                    help="comma list: lowercase,porter2")
     b.add_argument("--stopwords", default=None, help="stopword file")
+    b.add_argument("--kstem-lexicon", default=None,
+                   help="krovetz headword file (one word per line), or "
+                        "'builtin' for the shipped curated list; used by "
+                        "the 'krovetz' token filter and recorded in the "
+                        "index config for query-side parity")
+    b.add_argument("--kstem-exceptions", default=None,
+                   help="krovetz direct-conflation file (word<TAB>stem "
+                        "per line)")
     b.add_argument("--scorer", default="bm25",
                    choices=["bm25", "qld", "pl2", "dph"])
     from pisa_ray.codecs import CODECS

@@ -69,6 +69,15 @@ class IndexConfig:
     tokenizer: str = "english"
     token_filters: tuple = ("lowercase",)
     stopwords: tuple = ()
+    # Krovetz headword / direct-conflation files (token filter "krovetz"):
+    # None = dictionary-free rule subset; "builtin" = the shipped curated
+    # ~400-word list.  A user-supplied Lemur headword file path goes here
+    # — it is recorded in the index config, so it must stay readable by
+    # query actors too (like the index dir itself).  See README "Krovetz
+    # stemmer dictionary" for the delta vs the reference's ~30k-word
+    # Lemur dictionary.
+    kstem_lexicon: Optional[str] = None
+    kstem_exceptions: Optional[str] = None
     scorer: str = "bm25"
     score_dtype: str = "float32"  # float32 = reference parity; float64 = SQL-oracle parity
     block_size: int = BLOCK_SIZE
@@ -121,6 +130,8 @@ class IndexConfig:
             tokenizer=self.tokenizer,
             token_filters=tuple(self.token_filters),
             stopwords=frozenset(self.stopwords),
+            kstem_lexicon=self.kstem_lexicon,
+            kstem_exceptions=self.kstem_exceptions,
         )
 
     def config_hash(self) -> str:

@@ -66,6 +66,12 @@ class QueryEngine:
             tokenizer=cfg.get("tokenizer", "english"),
             token_filters=tuple(cfg.get("token_filters", ("lowercase",))),
             stopwords=frozenset(cfg.get("stopwords", ())),
+            # krovetz headword/exception files recorded at build time:
+            # query-side term processing must conflate exactly like the
+            # index did, or lexicon lookups miss (term_processor.hpp
+            # loads the same stemmer both sides)
+            kstem_lexicon=cfg.get("kstem_lexicon") or None,
+            kstem_exceptions=cfg.get("kstem_exceptions") or None,
         ))
         # decoded+scored posting arrays, cached per term per actor — the
         # vectorized TAAT path then costs one numpy scatter-add per term

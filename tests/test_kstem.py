@@ -197,3 +197,55 @@ def test_analyzer_builtin_kstem_lexicon():
         token_filters=("lowercase", "krovetz"), kstem_lexicon="builtin"))
     assert an.analyze("Organizations placement news") == [
         "organize", "place", "news"]
+
+
+def test_kstem_user_lexicon_end_to_end_1k(ray_session, tmp_path):
+    """Round-4 verdict task #7: a user-supplied Lemur-style headword file
+    (synthetic, 1k words) flows build -> config.json -> QueryEngine, so
+    index-side and query-side conflation agree (term_processor.hpp loads
+    the same stemmer both sides)."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from pisa_ray.index.build import IndexConfig, build_index
+    from pisa_ray.query.engine import QueryEngine
+
+    # 1k-word synthetic Lemur-style list: filler + the headwords the
+    # assertions rely on
+    lp = tmp_path / "lemur_1k.txt"
+    words = [f"filler{i:04d}" for i in range(995)] + [
+        "create", "nation", "formal", "quick", "dog"]
+    lp.write_text("\n".join(words) + "\n")
+
+    texts = ["the creation of dogs", "nations create quickly",
+             "formality matters", "unrelatedwordzz stays"]
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    }))
+    out = str(tmp_path / "kidx")
+    build_index(corpus, out, config=IndexConfig(
+        token_filters=("lowercase", "krovetz"),
+        kstem_lexicon=str(lp), num_shards=1, block_size=16))
+    with open(os.path.join(out, "config.json")) as f:
+        cfg = json.load(f)
+    assert cfg["kstem_lexicon"] == str(lp)
+
+    eng = QueryEngine(out)
+    # query-side conflation through the SAME user lexicon: 'creation'
+    # -> 'create' (headword hit), so it matches docs 0 and 1
+    tids, _ = eng.parse_query("creation")
+    assert len(tids) == 1
+    hits = {d for _s, d in eng.run("creation", k=10)}
+    assert hits == {0, 1}
+    # inflected query matches base-form doc (and vice versa)
+    assert {d for _s, d in eng.run("nationality", k=10)} == {1}
+    assert {d for _s, d in eng.run("dogs", k=10)} == {0}
+    # out-of-list words pass the gate unchanged (the documented builtin
+    # delta): 'unrelatedwordzz' indexes and matches verbatim
+    assert {d for _s, d in eng.run("unrelatedwordzz", k=10)} == {3}
+    # the index vocabulary holds the conflated forms
+    assert eng.parse_query("formality")[0] == eng.parse_query("formal")[0]
