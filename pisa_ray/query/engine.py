@@ -142,26 +142,43 @@ class QueryEngine:
                 RANGE_BITS, block_max_taat_arrays, range_meta,
                 taat_maxscore_arrays)
 
-            lists, metas = [], []
+            lists, terms_used = [], []
             for i, t in enumerate(term_ids):
                 sp = self.scored_postings(t)
                 if sp is not None:
                     w = weights[i] if weights else 1.0
                     lists.append((sp[0], sp[1], sp[2], float(w)))
-                    if algorithm == "block_max_taat":
-                        rm = self._range_meta.get(t)
-                        if rm is None and t in self._scored_cache:
-                            rm = range_meta(sp[0], sp[1], RANGE_BITS)
-                            self._range_meta[t] = rm
-                        metas.append(rm)
+                    terms_used.append(t)
             n = len(self.index.doc_lens)
             if algorithm == "block_max_taat":
-                if self._bmt_ws is None:
-                    self._bmt_ws = np.zeros(1 << RANGE_BITS,
-                                            dtype=np.float32)
+                # adaptive range size: the per-range Python/numpy call
+                # overhead (~30 µs) dominates SPARSE queries (few hundred
+                # postings per 16k-doc range → 12+ ms at 6M docs), so
+                # coarsen the partition until each range carries ≥ ~4k
+                # postings.  Dense (hot-term) queries keep the fine
+                # default — their per-range work amortizes the overhead
+                # and fine ranges prune harder.  Exactness/rank-identity
+                # hold at ANY granularity (the bound is per-partition).
+                total = sum(len(x[0]) for x in lists)
+                rb = RANGE_BITS
+                nranges_cap = max(1, total // 4096)
+                # rb cap bounds the reusable accumulator at 4M cells
+                # (16 MB) no matter how sparse the query or big the corpus
+                while (n >> rb) > nranges_cap and rb < 22:
+                    rb += 1
+                metas = []
+                for (x, t) in zip(lists, terms_used):
+                    rm = self._range_meta.get((t, rb))
+                    if rm is None and t in self._scored_cache:
+                        rm = range_meta(x[0], x[1], rb)
+                        self._range_meta[(t, rb)] = rm
+                    metas.append(rm)
+                ws = self._bmt_ws
+                if ws is None or len(ws) < (1 << rb):
+                    ws = self._bmt_ws = np.zeros(1 << rb, dtype=np.float32)
                 q = block_max_taat_arrays(lists, n, k, initial_threshold,
-                                          metas=metas,
-                                          workspace=self._bmt_ws)
+                                          range_bits=rb, metas=metas,
+                                          workspace=ws)
                 return q.finalize()
             if self._taat_ws is None or len(self._taat_ws[0]) != n:
                 self._taat_ws = (np.zeros(n, dtype=np.float32),
