@@ -40,8 +40,9 @@ import hashlib
 import json
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import asdict, dataclass, field
-from typing import Dict, Optional
+from typing import Dict, List, Optional
 
 import shutil
 
@@ -668,6 +669,17 @@ def build_index(
             print(f"[build {time.time() % 1000:.1f}] {msg}", flush=True)
 
     _trace("start")
+    # driver-side finalize work (small-table parquet writes) runs on this
+    # pool so it overlaps the cluster-side stages; every future is joined
+    # before build_index returns (Arrow/parquet kernels release the GIL)
+    bg_pool = ThreadPoolExecutor(max_workers=2)
+    bg_futures: List = []
+
+    def _join_bg():
+        for fut in bg_futures:
+            fut.result()  # re-raises a failed checkpoint write
+        bg_pool.shutdown(wait=True)
+
     config = config or IndexConfig()
     if analyzer_concurrency is None:
         # leave headroom for the read/write/shuffle stages so the actor
@@ -728,35 +740,45 @@ def build_index(
                 docid_join = True
             else:
                 # driver fast path: read the url column straight off the
-                # parquet footers (multithreaded C reads, no Ray job), sort
-                # with Arrow's C kernel; doc_id of row i in the SORTED
+                # parquet footers (thread-parallel C reads, no Ray job),
+                # sort with Arrow's C kernel; doc_id of row i in the SORTED
                 # table is simply i
                 if src_files:
-                    u_col = pa.concat_tables(
-                        [pq.read_table(f, columns=[url_col])
-                         for f in src_files])[url_col].combine_chunks()
+                    with ThreadPoolExecutor(min(8, len(src_files))) as ex:
+                        u_tabs = list(ex.map(
+                            lambda f: pq.read_table(f, columns=[url_col]),
+                            src_files))
+                    u_col = pa.concat_tables(u_tabs)[url_col].combine_chunks()
                 else:
                     u_col = pa.concat_tables(
                         ray.get(corpus.select_columns([url_col])
                                 .to_arrow_refs()))[url_col].combine_chunks()
                 sorted_urls_arr = pc.take(u_col, pc.sort_indices(u_col))
-                n = len(sorted_urls_arr)
-                dm = pa.table({url_col: sorted_urls_arr,
-                               "doc_id": pa.array(
-                                   np.arange(n, dtype=np.uint64),
-                                   type=pa.uint64())})
-                _fresh_stage_dir(paths["docmap"])
-                os.makedirs(paths["docmap"], exist_ok=True)
-                pq.write_table(dm, os.path.join(paths["docmap"],
-                                                "part-00000.parquet"))
-                write_manifest(paths["docmap"], cfg_hash)
-                num_docs = dm.num_rows
+                num_docs = len(sorted_urls_arr)
+
+                def _write_docmap(arr=sorted_urls_arr):
+                    dm_t = pa.table({url_col: arr,
+                                     "doc_id": pa.array(
+                                         np.arange(len(arr), dtype=np.uint64),
+                                         type=pa.uint64())})
+                    _fresh_stage_dir(paths["docmap"])
+                    os.makedirs(paths["docmap"], exist_ok=True)
+                    pq.write_table(dm_t, os.path.join(paths["docmap"],
+                                                      "part-00000.parquet"))
+                    write_manifest(paths["docmap"], cfg_hash)
+
+                # the checkpoint write overlaps the analyze stage; joined
+                # before build_index returns
+                bg_futures.append(bg_pool.submit(_write_docmap))
+                # broadcast the SORTED url column as an Arrow array
+                # (zero-copy into plasma); each worker converts it once to
+                # a fixed-width bytes numpy array for vectorized
+                # searchsorted — that conversion cost is paid in parallel
+                # on workers, not serially on the driver
+                url_to_doc_ref = ray.put(sorted_urls_arr)
         if dm is not None:
-            # broadcast the SORTED url column as an Arrow array (zero-copy
-            # into plasma); each worker converts it once to a fixed-width
-            # bytes numpy array for vectorized searchsorted — the
-            # conversion cost is paid in parallel on workers, not serially
-            # on the driver
+            # resume path: dm was read back from the checkpoint (arbitrary
+            # row order) — broadcast the doc_id-ordered url column
             dm_sorted = dm.sort_by("doc_id")
             url_to_doc_ref = ray.put(dm_sorted[url_col].combine_chunks())
     else:
@@ -804,16 +826,20 @@ def build_index(
                 batch_size=1 << 20).to_arrow_refs()))
         _trace("partials done")
 
-        sz = ptab.filter(pc.equal(ptab["kind"], 1))
-        sz = pa.TableGroupBy(sz.select(["v1", "v2"]), "v1").aggregate(
-            [("v2", "max")])
-        sz = sz.take(pc.sort_indices(sz["v1"]))
-        os.makedirs(paths["sizes"], exist_ok=True)
-        pq.write_table(
-            pa.table({"doc_id": sz["v1"].cast(pa.uint64()),
-                      "doc_len": sz["v2_max"].cast(pa.uint32())}),
-            os.path.join(paths["sizes"], "part-00000.parquet"))
-        write_manifest(paths["sizes"], cfg_hash)
+        def _finalize_sizes(sz=ptab.filter(pc.equal(ptab["kind"], 1))):
+            # doc-sizes finalize doesn't feed any later build stage — it
+            # runs on the driver pool, overlapping the inversion exchange
+            g = pa.TableGroupBy(sz.select(["v1", "v2"]), "v1").aggregate(
+                [("v2", "max")])
+            g = g.take(pc.sort_indices(g["v1"]))
+            os.makedirs(paths["sizes"], exist_ok=True)
+            pq.write_table(
+                pa.table({"doc_id": g["v1"].cast(pa.uint64()),
+                          "doc_len": g["v2_max"].cast(pa.uint32())}),
+                os.path.join(paths["sizes"], "part-00000.parquet"))
+            write_manifest(paths["sizes"], cfg_hash)
+
+        bg_futures.append(bg_pool.submit(_finalize_sizes))
 
         lx = ptab.filter(pc.equal(ptab["kind"], 0))
         lx = pa.TableGroupBy(lx.select(["term", "v1", "v2"]),
@@ -1041,6 +1067,7 @@ def build_index(
                 json.dump({**asdict(config), "config_hash": cfg_hash,
                            "num_terms": int(num_terms)}, f, indent=2,
                           default=str)
+            _join_bg()
             return {"stats": stats, "num_terms": num_terms,
                     "out_dir": out_dir}
 
@@ -1072,4 +1099,5 @@ def build_index(
     with open(os.path.join(out_dir, "config.json"), "w") as f:
         json.dump({**asdict(config), "config_hash": cfg_hash,
                    "num_terms": int(num_terms)}, f, indent=2, default=str)
+    _join_bg()
     return {"stats": stats, "num_terms": num_terms, "out_dir": out_dir}
